@@ -1,0 +1,158 @@
+"""Unit tests for core ops against torch reference semantics.
+
+torch (CPU) is used as an oracle for InstanceNorm2d, PixelShuffle/Unshuffle
+and spectral_norm — verifying formula parity without porting code.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from vae_cyclegan_tpu.ops import (
+    instance_norm,
+    instance_norm_act,
+    pixel_shuffle,
+    pixel_unshuffle,
+    reflect_pad,
+    spectral_normalize,
+)
+
+
+def _nchw(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+
+
+def _nhwc(x_nchw: torch.Tensor) -> np.ndarray:
+    return np.transpose(x_nchw.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_instance_norm_matches_torch(rng):
+    x = rng.randn(2, 8, 8, 5).astype(np.float32)
+    ours = np.asarray(instance_norm(jnp.asarray(x)))
+    theirs = _nhwc(torch.nn.InstanceNorm2d(5)(_nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=1e-5)
+
+
+@pytest.mark.parametrize("order", ["norm_act", "act_norm"])
+@pytest.mark.parametrize("act", ["relu", "leaky_relu", "tanh", "identity"])
+def test_instance_norm_act_orders_match_torch(rng, order, act):
+    x = rng.randn(2, 4, 4, 3).astype(np.float32)
+    ours = np.asarray(instance_norm_act(jnp.asarray(x), act=act, order=order))
+
+    tnorm = torch.nn.InstanceNorm2d(3)
+    tact = {
+        "relu": torch.nn.ReLU(),
+        "leaky_relu": torch.nn.LeakyReLU(0.2),
+        "tanh": torch.nn.Tanh(),
+        "identity": torch.nn.Identity(),
+    }[act]
+    t = _nchw(x)
+    if order == "norm_act":
+        expected = _nhwc(tact(tnorm(t)))
+    else:
+        expected = _nhwc(tnorm(tact(t)))
+    np.testing.assert_allclose(ours, expected, atol=1e-4)
+
+
+def test_pallas_kernel_interpret_matches_reference(rng):
+    from vae_cyclegan_tpu.ops.instance_norm import _fused_reference, _pallas_in_act
+
+    x = jnp.asarray(rng.randn(2, 4 * 4, 16).astype(np.float32)).reshape(2, 4, 4, 16)
+    for order in ["norm_act", "act_norm"]:
+        ref = _fused_reference(x, "relu", order, 1e-5)
+        got = _pallas_in_act(x, "relu", order, 1e-5, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_vjp_matches_autodiff_of_reference(rng):
+    from vae_cyclegan_tpu.ops.instance_norm import (
+        _fused_reference,
+        _fused_tpu_bwd,
+    )
+
+    x = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32))
+    g = jnp.asarray(rng.randn(2, 4, 4, 3).astype(np.float32))
+    for order in ["norm_act", "act_norm"]:
+        for act in ["relu", "tanh", "leaky_relu", "sigmoid", "identity"]:
+            _, ref_vjp = jax.vjp(
+                lambda v: _fused_reference(v, act, order, 1e-5), x
+            )
+            (want,) = ref_vjp(g)
+            (got,) = _fused_tpu_bwd(act, order, 1e-5, x, g)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-4,
+                err_msg=f"{order}/{act}",
+            )
+
+
+def test_pixel_unshuffle_matches_torch(rng):
+    x = rng.randn(2, 8, 8, 3).astype(np.float32)
+    ours = np.asarray(pixel_unshuffle(jnp.asarray(x), 2))
+    theirs = _nhwc(torch.nn.PixelUnshuffle(2)(_nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    x = rng.randn(2, 4, 4, 12).astype(np.float32)
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    theirs = _nhwc(torch.nn.PixelShuffle(2)(_nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+def test_pixel_shuffle_roundtrip(rng):
+    x = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(pixel_shuffle(pixel_unshuffle(x))), np.asarray(x)
+    )
+
+
+def test_reflect_pad_matches_torch(rng):
+    x = rng.randn(1, 5, 5, 2).astype(np.float32)
+    ours = np.asarray(reflect_pad(jnp.asarray(x), 2))
+    theirs = _nhwc(torch.nn.ReflectionPad2d(2)(_nchw(x)))
+    np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+def test_spectral_normalize_matches_torch(rng):
+    """One power iteration + sigma must match torch.nn.utils.spectral_norm."""
+    kh = kw = 3
+    cin, cout = 4, 2
+    w_t = torch.randn(cout, cin, kh, kw)
+    conv = torch.nn.Conv2d(cin, cout, kh, bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(w_t)
+    sn = torch.nn.utils.spectral_norm(conv)
+    u0 = sn.weight_u.detach().numpy().copy()
+    v0 = sn.weight_v.detach().numpy().copy()
+
+    # torch flattens (cout, cin*kh*kw); ours flattens (kh*kw*cin, cout)^T.
+    # Use the SAME matrix in both by building our kernel so that the
+    # flattened columns correspond (permutation changes u/v entries but we
+    # feed identical starting vectors in each library's own layout).
+    x_t = torch.randn(1, cin, 8, 8)
+    sn.train()
+    _ = sn(x_t)  # one power iteration + normalized weight used
+    w_used_torch = (sn.weight_orig / (
+        torch.dot(sn.weight_u, sn.weight_orig.reshape(cout, -1) @ sn.weight_v)
+    )).detach().numpy()
+
+    # ours: kernel (kh,kw,cin,cout); construct the matching matrix
+    w_ours = np.transpose(w_t.numpy(), (2, 3, 1, 0))  # kh,kw,cin,cout
+    # map torch's v (over cin*kh*kw, row-major (cin,kh,kw)) into our flat
+    # order (kh,kw,cin):
+    v0_ours = np.transpose(v0.reshape(cin, kh, kw), (1, 2, 0)).reshape(-1)
+    w_sn, u1, v1 = spectral_normalize(
+        jnp.asarray(w_ours), jnp.asarray(u0), jnp.asarray(v0_ours), update=True
+    )
+    got = np.transpose(np.asarray(w_sn), (3, 2, 0, 1))  # back to torch layout
+    np.testing.assert_allclose(got, w_used_torch, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(u1), sn.weight_u.detach().numpy(), rtol=1e-4, atol=1e-5
+    )

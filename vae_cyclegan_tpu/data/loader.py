@@ -1,0 +1,122 @@
+"""Batched, prefetching host loader.
+
+Replaces torch DataLoader worker processes (train.py:221-237) with a
+thread-pool decode stage plus a bounded prefetch queue: PIL decode releases
+the GIL, so threads overlap decode/augment with TPU step execution, and the
+next batch is always being assembled while the current one trains.
+
+Randomness: the loader owns one `random.Random` per epoch seeded by
+(base_seed, epoch); each example access gets a child Random seeded by
+(epoch_seed, index-position) so results are reproducible regardless of
+thread scheduling.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        num_workers: int = 4,
+        drop_last: bool = False,
+        prefetch: int = 2,
+        device_put: Optional[Callable[[Dict[str, np.ndarray]], Dict]] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.device_put = device_put
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        n = len(self.dataset)
+        order = list(range(n))
+        epoch_seed = hash((self.seed, self.epoch)) & 0x7FFFFFFF
+        if self.shuffle:
+            random.Random(epoch_seed).shuffle(order)
+
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, n, self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def fetch_one(pos_idx):
+            pos, idx = pos_idx
+            rng = random.Random((epoch_seed * 1_000_003 + pos) & 0x7FFFFFFF)
+            return self.dataset.get(idx, rng)
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    pos = 0
+                    for batch_indices in batches:
+                        if stop.is_set():
+                            return
+                        items = list(
+                            pool.map(
+                                fetch_one,
+                                [(pos + j, ix) for j, ix in enumerate(batch_indices)],
+                            )
+                        )
+                        pos += len(batch_indices)
+                        batch = {
+                            k: np.stack([it[k] for it in items])
+                            for k in items[0]
+                            if isinstance(items[0][k], np.ndarray)
+                        }
+                        if self.device_put is not None:
+                            batch = self.device_put(batch)
+                        out_q.put(batch)
+                out_q.put(None)
+            except BaseException as e:  # surface worker errors to consumer
+                out_q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit promptly
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+        self.epoch += 1

@@ -1,0 +1,207 @@
+"""Fused InstanceNorm + activation — the reference's per-layer hot pattern.
+
+Every block in the reference is `conv -> InstanceNorm2d <-> activation`
+(reference: Networks.py:57-149). InstanceNorm at (B,64,256,256) /
+(B,1024,16,16) is memory-bound and appears ~22x per generator forward
+(SURVEY.md §3.4), making it the Pallas fusion target: one pass through VMEM
+computes the per-(sample, channel) statistics over (H, W) and applies the
+activation in either order without re-reading HBM.
+
+Two orderings exist in the reference and both are preserved:
+  * ``norm_act``: InstanceNorm then activation (CaSb, Networks.py:76-81)
+  * ``act_norm``: activation then InstanceNorm (D/R/U blocks; the reference
+    comments "ReLU BEFORE InstanceNorm", Networks.py:94,111,129)
+
+Semantics match ``torch.nn.InstanceNorm2d`` defaults: biased variance,
+eps=1e-5, no affine parameters, stats in float32.
+
+The Pallas kernel processes one batch element's full (H*W, C) slab per grid
+step (pipelined HBM->VMEM by pallas_call); slabs larger than a VMEM budget
+fall back to the pure-XLA lowering, which fuses well on its own. Backward is
+the analytic instance-norm VJP expressed in jnp (conv grads dominate the
+backward pass, so a handwritten backward kernel buys little).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on some CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+_EPS = 1e-5
+# One (H*W, C) f32 slab must fit comfortably in ~16MB VMEM alongside the
+# output and pipeline double-buffers.
+_VMEM_SLAB_BYTES = 4 * 1024 * 1024
+
+_ACTS: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
+    "relu": lambda x: jnp.maximum(x, 0.0),
+    "leaky_relu": lambda x: jnp.where(x >= 0, x, 0.2 * x),
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "identity": lambda x: x,
+}
+
+
+def instance_norm(x: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
+    """Plain InstanceNorm over NHWC (stats per (batch, channel), f32)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=(1, 2), keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _fused_reference(x: jnp.ndarray, act: str, order: str, eps: float) -> jnp.ndarray:
+    """Pure-jnp lowering of the fused op (used off-TPU and for verification)."""
+    f = _ACTS[act]
+    if order == "norm_act":
+        return f(instance_norm(x, eps).astype(jnp.float32)).astype(x.dtype)
+    elif order == "act_norm":
+        return instance_norm(f(x.astype(jnp.float32)).astype(x.dtype), eps)
+    raise ValueError(f"unknown order {order}")
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _in_act_kernel(x_ref, o_ref, *, act: str, order: str, eps: float):
+    x = x_ref[...].astype(jnp.float32)  # (1, HW, C)
+    f = _ACTS[act]
+    if order == "act_norm":
+        x = f(x)
+    mu = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    if order == "norm_act":
+        y = f(y)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _pallas_in_act(x: jnp.ndarray, act: str, order: str, eps: float,
+                   interpret: bool = False) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    hw = h * w
+    x2 = x.reshape(b, hw, c)
+    out = pl.pallas_call(
+        functools.partial(_in_act_kernel, act=act, order=order, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM if _HAS_PLTPU else None)
+        ],
+        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM if _HAS_PLTPU else None),
+        interpret=interpret,
+    )(x2)
+    return out.reshape(b, h, w, c)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper: Pallas forward, analytic jnp backward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_tpu(x, act, order, eps):
+    return _pallas_in_act(x, act, order, eps)
+
+
+def _fused_tpu_fwd(x, act, order, eps):
+    return _pallas_in_act(x, act, order, eps), x
+
+
+def _act_and_grad(act: str, x: jnp.ndarray):
+    if act == "relu":
+        return jnp.maximum(x, 0.0), (x > 0).astype(x.dtype)
+    if act == "leaky_relu":
+        return jnp.where(x >= 0, x, 0.2 * x), jnp.where(x >= 0, 1.0, 0.2)
+    if act == "tanh":
+        t = jnp.tanh(x)
+        return t, 1.0 - t * t
+    if act == "sigmoid":
+        s = jax.nn.sigmoid(x)
+        return s, s * (1.0 - s)
+    if act == "identity":
+        return x, jnp.ones_like(x)
+    raise ValueError(act)
+
+
+def _in_vjp(h: jnp.ndarray, g: jnp.ndarray, eps: float):
+    """VJP of y = (h - mean(h)) * rsqrt(var(h)+eps) over axes (1,2)."""
+    mu = jnp.mean(h, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(h - mu), axis=(1, 2), keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    h_hat = (h - mu) * r
+    g_mean = jnp.mean(g, axis=(1, 2), keepdims=True)
+    gh_mean = jnp.mean(g * h_hat, axis=(1, 2), keepdims=True)
+    return r * (g - g_mean - h_hat * gh_mean), h_hat
+
+
+def _fused_tpu_bwd(act, order, eps, x, g):
+    xf = x.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    if order == "norm_act":
+        mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=(1, 2), keepdims=True)
+        x_hat = (xf - mu) * jax.lax.rsqrt(var + eps)
+        _, dact = _act_and_grad(act, x_hat)
+        dx, _ = _in_vjp(xf, gf * dact, eps)
+    else:  # act_norm
+        h, dact = _act_and_grad(act, xf)
+        dh, _ = _in_vjp(h, gf, eps)
+        dx = dh * dact
+    return (dx.astype(x.dtype),)
+
+
+_fused_tpu.defvjp(_fused_tpu_fwd, _fused_tpu_bwd)
+
+
+def _slab_fits_vmem(x: jnp.ndarray) -> bool:
+    _, h, w, c = x.shape
+    return (h * w * c * 4) <= _VMEM_SLAB_BYTES
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def instance_norm_act(
+    x: jnp.ndarray,
+    *,
+    act: str = "relu",
+    order: str = "norm_act",
+    eps: float = _EPS,
+    use_pallas: bool | None = None,
+) -> jnp.ndarray:
+    """Fused InstanceNorm+activation in either order.
+
+    Args:
+      x: NHWC tensor.
+      act: one of relu / leaky_relu / tanh / sigmoid / identity.
+      order: 'norm_act' (CaSb) or 'act_norm' (D/R/U blocks).
+      use_pallas: force the Pallas path (None = auto: TPU backend and slab
+        fits the VMEM budget).
+    """
+    if act not in _ACTS:
+        raise NotImplementedError(f"Activation not implemented: {act}")
+    if use_pallas is None:
+        use_pallas = _on_tpu() and _slab_fits_vmem(x)
+    if use_pallas and _HAS_PLTPU:
+        return _fused_tpu(x, act, order, eps)
+    return _fused_reference(x, act, order, eps)

@@ -1,0 +1,36 @@
+"""PixelShuffle / PixelUnshuffle (space-to-depth) for NHWC tensors.
+
+The reference downsamples with ``nn.PixelUnshuffle(2)`` and upsamples with
+``nn.PixelShuffle(2)`` (reference: Networks.py:86,121). On TPU these are pure
+reshape+transpose; XLA lowers them to layout changes fused with the adjacent
+convolution, keeping all FLOPs on the MXU.
+
+Channel convention: the sub-pixel positions are folded as ``(c, s1, s2)``
+(channel-major), matching torch's ordering so that
+``pixel_shuffle(pixel_unshuffle(x)) == x`` and filter-channel semantics line
+up with the reference architecture diagrams.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pixel_unshuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/f, W/f, C*f*f)."""
+    b, h, w, c = x.shape
+    f = factor
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    # -> (b, h/f, w/f, c, f, f): channel-major (c, s1, s2) like torch
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(b, h // f, w // f, c * f * f)
+
+
+def pixel_shuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H*f, W*f, C/(f*f))."""
+    b, h, w, c = x.shape
+    f = factor
+    cout = c // (f * f)
+    x = x.reshape(b, h, w, cout, f, f)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * f, w * f, cout)

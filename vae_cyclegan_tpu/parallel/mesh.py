@@ -1,0 +1,62 @@
+"""Data parallelism over a 1-D device mesh.
+
+The reference is strictly single-device (train.py:385; no torch.distributed
+anywhere — SURVEY.md §2.2). The TPU-native scaling story: a
+`jax.sharding.Mesh` over the 'data' axis; the batch is sharded on 'data',
+params/optimizer state are replicated, and the SPMD partitioner emits the
+gradient all-reduce over ICI inside the single jitted train step — no NCCL
+analog, no user-visible communication code.
+
+Multi-host growth: call `jax.distributed.initialize()` before `make_mesh()`
+on pods; the same code paths apply with devices spanning hosts over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
+    """1-D mesh over the first `n_devices` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Leading (batch) dim split across the mesh, rest replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.device_put(state, sharding)
+
+
+def shard_batch(
+    batch: Dict[str, np.ndarray], mesh: Mesh, axis_name: str = "data"
+) -> Dict[str, jax.Array]:
+    """Place a host batch onto the mesh, batch dim split over 'data'.
+
+    If the batch size does not divide the mesh (the reference default batch
+    is 5), fall back to replication — correctness preserved, parallel
+    speedup forfeited for that step.
+    """
+    n = mesh.devices.size
+    out = {}
+    for k, v in batch.items():
+        if v.shape[0] % n == 0:
+            out[k] = jax.device_put(v, batch_sharding(mesh, axis_name))
+        else:
+            out[k] = jax.device_put(v, replicated_sharding(mesh))
+    return out
