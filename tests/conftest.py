@@ -7,7 +7,11 @@ exercised without TPU hardware (the JAX-native "fake backend" per SURVEY.md
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if a site customization already imported jax with a TPU
+# plugin (JAX_PLATFORMS may be pre-set to a tunnel backend): set the env for
+# late initializers AND override via jax.config below for the already-
+# imported case.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 # Persistent compilation cache: CPU test-suite compiles (convs are slow to

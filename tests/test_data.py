@@ -1,0 +1,170 @@
+"""Data pipeline tests over a synthetic on-disk fixture exercising all three
+dataset layouts (SURVEY.md §4 test plan item c)."""
+
+import random
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vae_cyclegan_tpu.data import (
+    AugmentConfig,
+    ColorJitterConfig,
+    DataLoader,
+    HypersimDataset,
+    SatelliteMapDataset,
+    Subset,
+    Summer2WinterDataset,
+    split_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dataset")
+    rng = np.random.RandomState(0)
+    # hypersim tree
+    for scene in ["ai_001_001_indoor", "ai_002_001_outdoor"]:
+        for cam in ["cam_00", "cam_01"]:
+            d = root / "hypersim" / scene / cam
+            d.mkdir(parents=True)
+            for frame in range(3):
+                for mod in ["depth", "normal", "color"]:
+                    arr = (rng.rand(40, 56, 3) * 255).astype(np.uint8)
+                    Image.fromarray(arr).save(
+                        d / f"frame_{frame:04d}_{mod}.png"
+                    )
+    # maps side-by-side
+    (root / "maps" / "train").mkdir(parents=True)
+    for i in range(4):
+        arr = (rng.rand(30, 64, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / "maps" / "train" / f"{i}.jpg")
+    # summer2winter A/B
+    for sub in ["trainA", "trainB"]:
+        (root / "summer2winter" / sub).mkdir(parents=True)
+        n = 3 if sub == "trainA" else 5
+        for i in range(n):
+            arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(root / "summer2winter" / sub / f"{i}.jpg")
+    return root
+
+
+def test_hypersim_scan_and_paired(dataset_root):
+    ds = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "normal"], paired_mode=True
+    )
+    assert len(ds) == 2 * 2 * 3
+    assert ds.get_unique_scenes() == ["ai_001_001", "ai_002_001"]
+    assert ds.get_unique_scene_types() == ["indoor", "outdoor"]
+    item = ds.get(0, random.Random(0))
+    assert item["x"].shape == (40, 56, 3)
+    assert item["x"].dtype == np.float32
+    assert 0.0 <= item["x"].min() and item["x"].max() <= 1.0
+
+
+def test_hypersim_single_modality_x_equals_y(dataset_root):
+    ds = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth"], paired_mode=True
+    )
+    item = ds.get(3, random.Random(0))
+    np.testing.assert_array_equal(item["x"], item["y"])
+
+
+def test_hypersim_synchronized_augmentation(dataset_root):
+    """Paired mode: x and y must receive IDENTICAL spatial transforms.
+    depth==normal pixel content differs, but flips/crops must align; use the
+    single-modality dataset where x==y exactly iff transforms are synced."""
+    aug = AugmentConfig(out_size=24, hflip_p=0.5, vflip_p=0.5)
+    ds = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth"], augment=aug, paired_mode=True
+    )
+    for i in range(5):
+        item = ds.get(i, random.Random(i))
+        np.testing.assert_array_equal(item["x"], item["y"])
+        assert item["x"].shape == (24, 24, 3)
+
+
+def test_hypersim_unpaired_independent_draws(dataset_root):
+    aug = AugmentConfig(out_size=24, hflip_p=0.5)
+    ds = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "normal"],
+        augment=aug, paired_mode=False,
+    )
+    a = ds.get(0, random.Random(0))
+    b = ds.get(0, random.Random(1))
+    # different rng -> (almost surely) different unpaired partner/augment
+    assert not np.array_equal(a["y"], b["y"])
+
+
+def test_scene_filtering(dataset_root):
+    ds = HypersimDataset(str(dataset_root / "hypersim"), ["depth"])
+    indoor = ds.filter_by_scene_type(["indoor"])
+    assert len(indoor) == 2 * 3
+    one_scene = ds.filter_by_scene(["ai_002_001"])
+    assert len(one_scene) == 2 * 3
+
+
+def test_maps_halves_synchronized(dataset_root):
+    aug = AugmentConfig(out_size=16, hflip_p=1.0)  # force flip on both halves
+    ds = SatelliteMapDataset(str(dataset_root / "maps"), "train", augment=aug)
+    assert len(ds) == 4
+    item = ds.get(0, random.Random(0))
+    assert item["x"].shape == item["y"].shape == (16, 16, 3)
+
+
+def test_summer2winter_lengths_and_random_partner(dataset_root):
+    ds = Summer2WinterDataset(str(dataset_root / "summer2winter"), "train")
+    assert len(ds) == 5  # max(lenA=3, lenB=5), Data_Manager.py:433-434
+    item = ds.get(4, random.Random(0))  # idx 4 wraps A via idx % lenA
+    assert item["x"].shape == (32, 32, 3)
+
+
+def test_split_dataset_deterministic(dataset_root):
+    ds = HypersimDataset(str(dataset_root / "hypersim"), ["depth"])
+    tr1, te1 = split_dataset(ds, 0.25, seed=42)
+    tr2, te2 = split_dataset(ds, 0.25, seed=42)
+    assert tr1.indices == tr2.indices and te1.indices == te2.indices
+    assert len(tr1) + len(te1) == len(ds)
+    assert set(tr1.indices).isdisjoint(te1.indices)
+
+
+def test_loader_batching_and_reproducibility(dataset_root):
+    ds = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "normal"],
+        augment=AugmentConfig(out_size=16), paired_mode=True,
+    )
+    loader = DataLoader(ds, batch_size=5, shuffle=True, seed=7, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # 12 samples / 5 -> 3 batches (last partial)
+    assert batches[0]["x"].shape == (5, 16, 16, 3)
+    assert batches[-1]["x"].shape == (2, 16, 16, 3)
+    # same seed + same epoch -> identical stream
+    loader2 = DataLoader(ds, batch_size=5, shuffle=True, seed=7, num_workers=4)
+    batches2 = list(loader2)
+    np.testing.assert_array_equal(batches[0]["x"], batches2[0]["x"])
+    # next epoch reshuffles
+    loader.set_epoch(1)
+    batches3 = list(loader)
+    assert not np.array_equal(batches[0]["x"], batches3[0]["x"])
+
+
+def test_loader_drop_last(dataset_root):
+    ds = SatelliteMapDataset(str(dataset_root / "maps"), "train")
+    loader = DataLoader(ds, batch_size=3, drop_last=True)
+    assert len(loader) == 1
+    assert [b["x"].shape[0] for b in loader] == [3]
+
+
+def test_color_jitter_only_on_color_modality(dataset_root):
+    ds_nj = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "color"],
+        color_jitter=None, paired_mode=True,
+    )
+    ds_j = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "color"],
+        color_jitter=ColorJitterConfig(0.5, 0.5, 0.5, 0.3), paired_mode=True,
+    )
+    a = ds_nj.get(0, random.Random(3))
+    b = ds_j.get(0, random.Random(3))
+    np.testing.assert_array_equal(a["x"], b["x"])  # depth untouched
+    assert not np.array_equal(a["y"], b["y"])  # color jittered

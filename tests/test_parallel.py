@@ -1,0 +1,110 @@
+"""Data-parallel correctness on the 8-virtual-device CPU mesh:
+sharded-batch gradients must equal single-device gradients
+(SURVEY.md §4 test plan item f)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_cyclegan_tpu.config import ModelConfig
+from vae_cyclegan_tpu.engine import Engine
+from vae_cyclegan_tpu.models.tasks import create_task
+from vae_cyclegan_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicate_state,
+    shard_batch,
+)
+
+MC = ModelConfig(image_size=32, latent_dim=8, base_width=8, use_pallas=False)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8  # conftest forces 8 virtual CPU devices
+
+
+def test_shard_batch_layouts():
+    mesh = make_mesh()
+    batch = {"x": np.ones((16, 8, 8, 3), np.float32)}
+    placed = shard_batch(batch, mesh)
+    assert placed["x"].sharding == batch_sharding(mesh)
+    # non-divisible batch falls back to replication
+    odd = {"x": np.ones((5, 8, 8, 3), np.float32)}
+    placed_odd = shard_batch(odd, mesh)
+    assert placed_odd["x"].sharding.is_fully_replicated
+
+
+@pytest.mark.parametrize("name", ["autoencoder", "vae", "aegan"])
+def test_dp_step_matches_single_device(name):
+    """One sharded train step == one single-device train step (same data,
+    same rng): the all-reduce the partitioner inserts must be exactly the
+    mean the single-device step computes."""
+    task = create_task(name, model=MC)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    batch_np = {
+        "x": np.asarray(jax.random.uniform(k1, (8, 32, 32, 3))),
+        "y": np.asarray(jax.random.uniform(k2, (8, 32, 32, 3))),
+    }
+
+    state0 = task.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(task.train_step)
+
+    # single device
+    single_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    s1, m1 = step(state0, single_batch)
+
+    # 8-device mesh
+    mesh = make_mesh()
+    state_r = replicate_state(task.init_state(jax.random.PRNGKey(0)), mesh)
+    sharded = shard_batch(batch_np, mesh)
+    s8, m8 = step(state_r, sharded)
+
+    assert float(m1["G_loss"]) == pytest.approx(float(m8["G_loss"]), rel=2e-5)
+    # Post-Adam params: where a gradient is numerically ~0, reduction-order
+    # noise between the sharded all-reduce and the single-device mean can
+    # flip m/sqrt(v) sign, moving that param by up to ~2*lr (lr=2e-4).
+    # Bound the comparison by a few lr quanta rather than a relative tol.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s8.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=0
+        )
+
+
+def test_engine_epoch_on_mesh():
+    """Engine runs a full epoch on the virtual mesh with mixed batch sizes."""
+    import random as pyrandom
+
+    class SynthDataset:
+        def __len__(self):
+            return 10
+
+        def get(self, idx, rng: pyrandom.Random):
+            r = np.random.RandomState(idx)
+            return {
+                "x": r.rand(32, 32, 3).astype(np.float32),
+                "y": r.rand(32, 32, 3).astype(np.float32),
+            }
+
+    from vae_cyclegan_tpu.data import DataLoader
+
+    task = create_task("vae", model=MC)
+    engine = Engine(task, make_mesh())
+    state = engine.init_state(seed=0)
+    loader = DataLoader(SynthDataset(), batch_size=8, shuffle=True, seed=0)
+    state, loss, comps, last_batch = engine.train_epoch(
+        state, loader, progress=False
+    )
+    assert np.isfinite(loss)
+    assert "images_per_sec" in comps and comps["images_per_sec"] > 0
+    assert int(state.step) == 2  # 10 samples -> batches of 8 + 2
+
+    val_loss, val_comps, gx, fy, x, y = engine.validate(
+        state, loader, progress=False
+    )
+    assert np.isfinite(val_loss)
+    assert gx.shape[-1] == 3

@@ -1,0 +1,120 @@
+"""Generic epoch engine: one driver loop trains all 10 architectures.
+
+Replaces the reference's train_epoch/validate (train.py:80-171). Differences
+by design, for TPU throughput:
+  * metrics stay on device as scalar arrays; the epoch average is computed
+    with one tree-reduce and fetched once per epoch (the reference calls
+    `.item()` per metric per step — a sync point per step,
+    Networks.py:2054-2073)
+  * the visualization forward runs once on the last batch per epoch instead
+    of once per step (the reference recomputes it every step and discards
+    all but the last, train.py:109-117)
+  * batches are placed onto the mesh ('data'-sharded) before the step; the
+    SPMD partitioner emits the gradient all-reduce inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from vae_cyclegan_tpu.models.state import TrainState
+from vae_cyclegan_tpu.models.tasks.base import Task
+from vae_cyclegan_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+try:
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+    def tqdm(it, **kw):
+        return it
+
+
+class Engine:
+    """Owns the jitted step functions, mesh placement, and epoch loops."""
+
+    def __init__(self, task: Task, mesh=None, donate: bool = True):
+        self.task = task
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.train_step = jax.jit(
+            task.train_step, donate_argnums=(0,) if donate else ()
+        )
+        self.eval_step = jax.jit(task.eval_step)
+        self.generate = jax.jit(task.generate)
+        self._eval_counter = 0
+
+    def init_state(self, seed: int = 0) -> TrainState:
+        state = self.task.init_state(jax.random.PRNGKey(seed))
+        return replicate_state(state, self.mesh)
+
+    def place(self, state: TrainState) -> TrainState:
+        return replicate_state(state, self.mesh)
+
+    def _put(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        return shard_batch(batch, self.mesh)
+
+    def train_epoch(
+        self,
+        state: TrainState,
+        loader,
+        progress: bool = True,
+        epoch: Optional[int] = None,
+    ) -> Tuple[TrainState, float, Dict[str, float], Any]:
+        """Returns (state, avg_G_loss, avg_metric_components, last_batch)."""
+        metric_sums: Dict[str, Any] = {}
+        n_batches = 0
+        last_batch = None
+        it = tqdm(loader, desc="Training") if progress else loader
+        t0 = time.perf_counter()
+        n_images = 0
+        for batch in it:
+            device_batch = self._put(batch)
+            state, metrics = self.train_step(state, device_batch)
+            n_batches += 1
+            n_images += batch["x"].shape[0]
+            for k, v in metrics.items():
+                metric_sums[k] = v if k not in metric_sums else metric_sums[k] + v
+            last_batch = device_batch
+        elapsed = time.perf_counter() - t0
+        if n_batches == 0:
+            return state, float("nan"), {}, None
+        # single host sync per epoch
+        fetched = jax.device_get(metric_sums)
+        avg = {k: float(v) / n_batches for k, v in fetched.items()}
+        avg["images_per_sec"] = n_images / elapsed if elapsed > 0 else 0.0
+        return state, avg.get("G_loss", float("nan")), avg, last_batch
+
+    def validate(
+        self, state: TrainState, loader, progress: bool = True
+    ) -> Tuple[float, Dict[str, float], Any, Any, Any, Any]:
+        """Returns (avg_loss, avg_components, last_Gx, last_Fy, last_x, last_y)."""
+        metric_sums: Dict[str, Any] = {}
+        n_batches = 0
+        last_Gx = last_Fy = last_x = last_y = None
+        it = tqdm(loader, desc="Validation") if progress else loader
+        for batch in it:
+            device_batch = self._put(batch)
+            self._eval_counter += 1
+            rng = jax.random.PRNGKey(self._eval_counter)
+            metrics = self.eval_step(state, device_batch, rng)
+            metrics = dict(metrics)
+            last_Gx = metrics.pop("Gx")
+            last_Fy = metrics.pop("Fy", None)
+            last_x, last_y = device_batch["x"], device_batch["y"]
+            n_batches += 1
+            for k, v in metrics.items():
+                metric_sums[k] = v if k not in metric_sums else metric_sums[k] + v
+        if n_batches == 0:
+            return float("nan"), {}, None, None, None, None
+        fetched = jax.device_get(metric_sums)
+        avg = {k: float(v) / n_batches for k, v in fetched.items()}
+        return (
+            avg.get("G_loss", float("nan")),
+            avg,
+            np.asarray(last_Gx) if last_Gx is not None else None,
+            np.asarray(last_Fy) if last_Fy is not None else None,
+            np.asarray(last_x) if last_x is not None else None,
+            np.asarray(last_y) if last_y is not None else None,
+        )

@@ -201,7 +201,10 @@ def instance_norm_act(
     if act not in _ACTS:
         raise NotImplementedError(f"Activation not implemented: {act}")
     if use_pallas is None:
-        use_pallas = _on_tpu() and _slab_fits_vmem(x)
-    if use_pallas and _HAS_PLTPU:
+        use_pallas = _on_tpu()
+    # the VMEM-fit check always applies: one batch element's (H*W, C) slab
+    # plus the output must fit scoped VMEM; larger layers take the pure-XLA
+    # lowering (which fuses fine) until the tiled two-pass kernel lands.
+    if use_pallas and _HAS_PLTPU and _slab_fits_vmem(x):
         return _fused_tpu(x, act, order, eps)
     return _fused_reference(x, act, order, eps)
