@@ -197,6 +197,10 @@ def main(args):
 
     print(f"JAX backend: {jax.default_backend()}, devices: {jax.devices()}")
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+        print("jax_debug_nans enabled - will fail at the op producing a NaN")
+
     # Output dir (reference train.py:397-412)
     if args.resume:
         checkpoint_path = Path(args.resume)
@@ -297,9 +301,15 @@ def main(args):
     for epoch in range(start_epoch, args.epochs):
         print(f"\nEpoch {epoch + 1}/{args.epochs}")
         train_loader.set_epoch(epoch)
+        profiling = args.profile_dir is not None and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(args.profile_dir)
         state, train_loss, train_comps, _ = engine.train_epoch(
             state, train_loader, progress=not args.quiet, epoch=epoch
         )
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"Profiler trace written to {args.profile_dir}")
         print(f"Train Loss: {train_loss:.4f}")
         for k, v in train_comps.items():
             print(f"  {k}: {v:.6f}")
@@ -398,6 +408,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--quiet", action="store_true",
                         help="Disable progress bars")
+    # Observability (reference has only a hard-coded-off anomaly toggle,
+    # train.py:391-394; these are the TPU-native equivalents)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of epoch 0 into "
+                             "this dir (view with TensorBoard's profile tab)")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="Enable jax_debug_nans (fail fast at the op "
+                             "that produced a NaN; slows training)")
     return parser
 
 

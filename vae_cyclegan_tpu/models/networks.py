@@ -251,3 +251,49 @@ class VariationalAutoencoderNet(nn.Module):
         decoded_latent = self.variational_decoder_block(z)
         Gx = self.decoder(decoded_latent)
         return Gx, mu, logvar
+
+
+def _smoke():  # pragma: no cover - manual shape check, reference parity
+    """Shape smoke test over the module zoo, mirroring the reference's
+    `python Networks.py` block (Networks.py:2153-2267) — except this one
+    runs to completion. Usage: python -m vae_cyclegan_tpu.models.networks
+    [image_size] (default 64 to keep compiles fast)."""
+    import sys
+
+    s = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    w = 64 if s >= 256 else 16
+    b = 2
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (b, s, s, 3))
+
+    enc = Encoder(base_width=w)
+    z = enc.apply(enc.init(key, x), x)
+    print(f"Encoder:       {x.shape} -> {z.shape} "
+          f"(expect (B,{s//16},{s//16},{w*16}))")
+
+    dec = Decoder(base_width=w)
+    out = dec.apply(dec.init(key, z), z)
+    print(f"Decoder:       {z.shape} -> {out.shape} (expect {x.shape})")
+
+    veb = VariationalEncoderBlock(latent_dim=64)
+    vvars = veb.init({"params": key, "reparam": key}, z)
+    zz, mu, lv = veb.apply(vvars, z, rngs={"reparam": key})
+    print(f"VarEncBlock:   {z.shape} -> z/mu/logvar {zz.shape}")
+
+    vdb = VariationalDecoderBlock(out_channels=w * 16)
+    print(f"VarDecBlock:   {zz.shape} -> {vdb.apply(vdb.init(key, zz), zz).shape}")
+
+    disc = Discriminator(final_kernel=s // 16, base_width=w)
+    d = disc.apply(disc.init(key, x), x)
+    print(f"Discriminator: {x.shape} -> {d.shape} (expect ({b},))")
+
+    vae = VariationalAutoencoderNet(latent_dim=64, base_width=w)
+    gx, mu, lv = vae.apply(
+        vae.init({"params": key, "reparam": key}, x), x, rngs={"reparam": key}
+    )
+    print(f"VAE:           {x.shape} -> Gx {gx.shape}, mu {mu.shape}")
+    print("all shapes OK")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _smoke()
