@@ -31,9 +31,9 @@ def main() -> None:
     from vae_cyclegan_tpu.models.tasks import create_task
 
     arch = os.environ.get("BENCH_ARCH", "cyclevaegan")
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
-    precision = os.environ.get("BENCH_PRECISION", "float32")
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "256"))
 
     mc = ModelConfig(
@@ -42,7 +42,7 @@ def main() -> None:
         base_width=64,
         dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
         use_pallas=os.environ.get("BENCH_NO_PALLAS") != "1",
-        remat=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
     # the BASELINE config #5: unpaired summer2winter-style full dual cycle
     task = create_task(arch, model=mc, paired=False)

@@ -1,0 +1,261 @@
+"""Cross-framework parity: import the reference's torch weights and verify
+forward outputs and one full training step match numerically.
+
+These tests import the mounted read-only reference (PyTorch) as an oracle;
+they skip when it isn't present. torchvision isn't installed in this image,
+and Networks.py imports it without using it on the model path — stubbed.
+"""
+
+import sys
+import types
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference repo not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    for name in ("torchvision", "torchvision.transforms"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = sys.modules[
+        "torchvision.transforms"
+    ]
+    sys.path.insert(0, str(REFERENCE))
+    import Networks  # noqa: F401
+
+    return Networks
+
+
+def _np_sd(module) -> dict:
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def test_autoencoder_forward_and_step_parity(ref):
+    """Same weights + same batch => same Gx, same loss, and after one Adam
+    step the same next-step loss (optimizer parity)."""
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig, OptimConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+
+    torch.manual_seed(0)
+    tmodel = ref.Autoencoder()
+    tmodel.configure_optimizers(lr=2e-4)
+    tmodel.configure_loss()
+
+    task = create_task(
+        "autoencoder",
+        model=ModelConfig(image_size=64, base_width=64, use_pallas=False),
+        optim=OptimConfig(lr=2e-4),
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state = load_into_state(state, "autoencoder", _np_sd(tmodel))
+
+    rng = np.random.RandomState(7)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.rand(2, 64, 64, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+
+    # forward parity
+    with torch.no_grad():
+        t_out = tmodel(tx).numpy()
+    j_out = np.transpose(
+        np.asarray(task.generate(state, {"x": jnp.asarray(x)}, None)),
+        (0, 3, 1, 2),
+    )
+    np.testing.assert_allclose(j_out, t_out, atol=1e-3, rtol=1e-2)
+
+    # one training step each
+    t_metrics = tmodel.training_step({"x": tx, "y": ty})
+    state, j_metrics = jax.jit(task.train_step)(
+        state, {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+    )
+    assert float(j_metrics["G_loss"]) == pytest.approx(
+        t_metrics["G_loss"], abs=5e-4
+    )
+
+    # post-update parity: the NEXT step's loss reflects the Adam update
+    t_metrics2 = tmodel.training_step({"x": tx, "y": ty})
+    _, j_metrics2 = jax.jit(task.train_step)(
+        state, {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+    )
+    assert float(j_metrics2["G_loss"]) == pytest.approx(
+        t_metrics2["G_loss"], abs=1e-3
+    )
+
+
+def test_discriminator_forward_parity(ref):
+    """Spectral-norm discriminator scores match torch in eval mode AND after
+    one training power iteration, at the native 256x256 (the reference
+    hardcodes the final 16x16 kernel)."""
+    import torch
+
+    from vae_cyclegan_tpu.models.networks import Discriminator
+    from vae_cyclegan_tpu.utils.torch_import import discriminator_params
+
+    torch.manual_seed(1)
+    tdisc = ref.Discriminator()
+    sd = _np_sd(tdisc)
+    params, spectral = discriminator_params(sd)
+
+    disc = Discriminator(final_kernel=16, base_width=64)
+    variables = {"params": params, "spectral": spectral}
+
+    rng = np.random.RandomState(3)
+    x = rng.rand(2, 256, 256, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+    # eval mode: sigma from stored (u, v), no iteration
+    tdisc.eval()
+    with torch.no_grad():
+        t_scores = tdisc(tx).numpy()
+    j_scores = np.asarray(
+        disc.apply(variables, jnp.asarray(x), update_stats=False)
+    )
+    np.testing.assert_allclose(j_scores, t_scores, atol=5e-3, rtol=1e-3)
+
+    # train mode: one power iteration updates (u, v) before scoring
+    tdisc.train()
+    with torch.no_grad():
+        t_scores_tr = tdisc(tx).numpy()
+    j_scores_tr, mutated = disc.apply(
+        variables, jnp.asarray(x), update_stats=True, mutable=["spectral"]
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_scores_tr), t_scores_tr, atol=5e-3, rtol=1e-3
+    )
+    # updated v matches torch's updated weight_v (layout permuted)
+    w = sd["D.model.4.weight_orig"] if "D.model.4.weight_orig" in sd else sd[
+        "model.4.weight_orig"
+    ]
+    o, i, kh, kw = w.shape
+    v_t = tdisc.model[4].weight_v.detach().numpy()
+    v_expected = np.transpose(v_t.reshape(i, kh, kw), (1, 2, 0)).reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(mutated["spectral"]["SpectralConv_0"]["v"]),
+        v_expected,
+        atol=1e-5,
+    )
+
+
+def test_vae_forward_parity_with_shared_noise(ref):
+    """VAE forward parity: mu/logvar convs are deterministic; compare mu and
+    logvar directly, and compare Gx after forcing the same eps by decoding
+    z = mu (eps=0) through both decoders."""
+    import torch
+
+    from vae_cyclegan_tpu.models.networks import (
+        Decoder,
+        Encoder,
+        LConv,
+        VariationalDecoderBlock,
+    )
+    from vae_cyclegan_tpu.utils.torch_import import vae_params
+
+    torch.manual_seed(2)
+    tvae = ref.VariationalAutoencoder(latent_dim=64)
+    sd = _np_sd(tvae)
+    params = vae_params(sd)
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(1, 64, 64, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+    with torch.no_grad():
+        enc = tvae.encoder(tx)
+        t_mu = tvae.variational_encoder_block.muConv(enc)
+        t_dec = tvae.decoder(tvae.variational_decoder_block(t_mu)).numpy()
+
+    # apply each stage standalone with its param subtree
+    j_enc = Encoder(base_width=64).apply(
+        {"params": params["encoder"]}, jnp.asarray(x)
+    )
+    j_mu = LConv(64).apply(
+        {"params": params["variational_encoder_block"]["LConv_0"]}, j_enc
+    )
+    j_lat = VariationalDecoderBlock(out_channels=1024).apply(
+        {"params": params["variational_decoder_block"]}, j_mu
+    )
+    j_gx = Decoder(base_width=64).apply({"params": params["decoder"]}, j_lat)
+
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(j_mu), (0, 3, 1, 2)),
+        t_mu.numpy(),
+        atol=1e-3, rtol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(j_gx), (0, 3, 1, 2)),
+        t_dec,
+        atol=2e-3, rtol=1e-2,
+    )
+
+
+def test_aegan_full_step_parity(ref):
+    """Full alternating G/D step parity at native 256x256: same weights +
+    same batch => same G_loss, D_loss, discriminator means, and matching
+    post-step spectral (u, v) chains (4 power iterations per step)."""
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig, OptimConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+
+    torch.manual_seed(4)
+    tm = ref.AEGAN()
+    tm.configure_optimizers(lr=2e-4)
+    tm.configure_loss(lambda_gan=1.0, lambda_identity=5.0)
+
+    task = create_task(
+        "aegan",
+        model=ModelConfig(image_size=256, base_width=64, use_pallas=False),
+        optim=OptimConfig(lr=2e-4),
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state = load_into_state(
+        state, "aegan", {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.rand(1, 256, 256, 3).astype(np.float32)
+    y = rng.rand(1, 256, 256, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+
+    t_metrics = tm.training_step({"x": tx, "y": ty})
+    state2, j_metrics = jax.jit(task.train_step)(
+        state, {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+    )
+
+    for key, tol in [
+        ("G_loss", 2e-2),       # includes lambda_id*L1 at scale ~25
+        ("D_loss", 2e-3),
+        ("loss_trans", 2e-3),
+        ("loss_gan_g", 5e-3),
+        ("loss_identity", 2e-3),
+        ("d_y_mean", 5e-3),
+        ("d_gx_mean", 5e-3),
+    ]:
+        assert float(j_metrics[key]) == pytest.approx(
+            t_metrics[key], abs=tol
+        ), key
+
+    # spectral chain parity after 4 in-step power iterations
+    w = tm.D.model[4].weight_orig.detach().numpy()
+    o, i, kh, kw = w.shape
+    v_t = tm.D.model[4].weight_v.detach().numpy()
+    v_expected = np.transpose(v_t.reshape(i, kh, kw), (1, 2, 0)).reshape(-1)
+    np.testing.assert_allclose(
+        np.asarray(state2.spectral["D"]["SpectralConv_0"]["v"]),
+        v_expected,
+        atol=1e-4,
+    )
