@@ -31,7 +31,7 @@ def main() -> None:
     from vae_cyclegan_tpu.models.tasks import create_task
 
     arch = os.environ.get("BENCH_ARCH", "cyclevaegan")
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "24"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "256"))

@@ -1,0 +1,107 @@
+"""End-to-end CLI tests: train.py (fresh + resume) and test.py over a tiny
+on-disk dataset, run in-process on the CPU backend."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_data")
+    rng = np.random.RandomState(0)
+    for scene in ["ai_001_001_indoor", "ai_001_002_outdoor"]:
+        d = root / "hypersim" / scene / "cam_00"
+        d.mkdir(parents=True)
+        for frame in range(4):
+            for mod in ["depth", "normal"]:
+                arr = (rng.rand(40, 56, 3) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"frame_{frame:04d}_{mod}.png")
+    return root
+
+
+def _train_args(data_root, out_dir, epochs, extra=()):
+    import train as train_cli
+
+    parser = train_cli.build_parser()
+    return parser.parse_args([
+        "--architecture", "vae",
+        "--dataset", "hypersim",
+        "--data_dir", str(data_root),
+        "--source_modality", "depth",
+        "--target_modality", "depth",
+        "--image_size", "32",
+        "--base_width", "8",
+        "--latent_dim", "8",
+        "--batch_size", "2",
+        "--epochs", str(epochs),
+        "--test_split", "0.25",
+        "--output_dir", str(out_dir),
+        "--save_freq", "1",
+        "--log_image_freq", "1",
+        "--no_pallas",
+        "--quiet",
+        "--paired",
+        "--num_workers", "2",
+        *extra,
+    ])
+
+
+def test_train_fresh_resume_and_eval(data_root, tmp_path):
+    import train as train_cli
+
+    out_root = tmp_path / "runs"
+    run_dir = train_cli.main(_train_args(data_root, out_root, epochs=2))
+
+    # reference run-dir layout (train.py:404-412, utils.py layout)
+    assert (run_dir / "args.json").exists()
+    assert (run_dir / "checkpoint_epoch_1").is_dir()
+    assert (run_dir / "checkpoint_epoch_2").is_dir()
+    assert (run_dir / "best_model").is_dir()
+    tb_files = list((run_dir / "tensorboard").glob("events.out.tfevents.*"))
+    assert tb_files, "TensorBoard events missing"
+    args_saved = json.loads((run_dir / "args.json").read_text())
+    assert args_saved["architecture"] == "vae"
+
+    # resume from epoch-1 checkpoint; TB truncated; continues to epoch 3
+    resume_args = _train_args(
+        data_root, out_root, epochs=3,
+        extra=("--resume", str(run_dir / "checkpoint_epoch_1")),
+    )
+    run_dir2 = train_cli.main(resume_args)
+    assert run_dir2 == run_dir
+    assert (run_dir / "checkpoint_epoch_3").is_dir()
+
+    # evaluation driver over the finished run
+    import test as test_cli
+
+    eval_out = tmp_path / "test_results"
+    eval_args = type("A", (), {
+        "runs_dir": str(out_root),
+        "data_dir": str(data_root),
+        "output_dir": str(eval_out),
+        "num_samples": 2,
+    })()
+    test_cli.evaluate_models(eval_args)
+    group_dir = eval_out / "hypersim" / "depth_to_depth"
+    summary = json.loads((group_dir / "summary.json").read_text())
+    assert summary["num_samples"] == 2
+    assert len(summary["l1_to_target"]) == 1
+    assert (group_dir / "comparison_sample_000.png").exists()
+    assert list(group_dir.glob("grid_*.png"))
+
+
+def test_train_rejects_mismatched_ae_modalities(data_root, tmp_path):
+    import train as train_cli
+
+    args = _train_args(data_root, tmp_path / "runs", epochs=1)
+    args.source_modality, args.target_modality = "depth", "normal"
+    with pytest.raises(ValueError, match="same for Autoencoder/VAE"):
+        train_cli.main(args)

@@ -156,3 +156,38 @@ def test_spectral_normalize_matches_torch(rng):
     np.testing.assert_allclose(
         np.asarray(u1), sn.weight_u.detach().numpy(), rtol=1e-4, atol=1e-5
     )
+
+
+def test_tiled_pallas_kernel_matches_reference(rng, monkeypatch):
+    """Two-pass tiled kernel (big-spatial layers) vs the jnp lowering."""
+    import importlib
+
+    inmod = importlib.import_module("vae_cyclegan_tpu.ops.instance_norm")
+    _fused_reference = inmod._fused_reference
+    _pallas_in_act_tiled = inmod._pallas_in_act_tiled
+
+    monkeypatch.setattr(inmod, "_VMEM_SLAB_BYTES", 64 * 1024)  # force tiles
+    x = jnp.asarray(rng.randn(2, 32, 32, 64).astype(np.float32))
+    for order in ["norm_act", "act_norm"]:
+        for act in ["relu", "identity"]:
+            ref = _fused_reference(x, act, order, 1e-5)
+            got = _pallas_in_act_tiled(x, act, order, 1e-5, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-4,
+                err_msg=f"{order}/{act}",
+            )
+
+
+def test_tiled_kernel_vjp_matches_reference(rng, monkeypatch):
+    import importlib
+
+    inmod = importlib.import_module("vae_cyclegan_tpu.ops.instance_norm")
+    monkeypatch.setattr(inmod, "_VMEM_SLAB_BYTES", 64 * 1024)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 16, 16, 8).astype(np.float32))
+    _, ref_vjp = jax.vjp(
+        lambda v: inmod._fused_reference(v, "relu", "act_norm", 1e-5), x
+    )
+    (want,) = ref_vjp(g)
+    (got,) = inmod._fused_tpu_bwd("relu", "act_norm", 1e-5, x, g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)

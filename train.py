@@ -195,6 +195,12 @@ def main(args):
               "(inherently unpaired)")
         args.paired = False
 
+    if getattr(args, "multihost", False):
+        # DCN bootstrap for multi-host pods (SURVEY.md §2.2); on a single
+        # host this is a no-op beyond process-coordination setup.
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}")
+
     print(f"JAX backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     if args.debug_nans:
@@ -416,6 +422,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--debug_nans", action="store_true",
                         help="Enable jax_debug_nans (fail fast at the op "
                              "that produced a NaN; slows training)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Call jax.distributed.initialize() for "
+                             "multi-host pods (DCN bootstrap); the mesh then "
+                             "spans all hosts' devices")
     return parser
 
 

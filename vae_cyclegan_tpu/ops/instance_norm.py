@@ -39,9 +39,11 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 _EPS = 1e-5
-# One (H*W, C) f32 slab must fit comfortably in ~16MB VMEM alongside the
-# output and pipeline double-buffers.
-_VMEM_SLAB_BYTES = 4 * 1024 * 1024
+# One (H*W, C) f32 slab must fit ~16MB scoped VMEM alongside the output,
+# f32 intermediates (x, x^2, y) and the pipeline double-buffers — in
+# practice that caps the slab around 1MB (the 16x16x1024 bottleneck layers
+# are exactly 1MB; larger-spatial layers take the tiled two-pass kernel).
+_VMEM_SLAB_BYTES = 1024 * 1024
 
 _ACTS: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
     "relu": lambda x: jnp.maximum(x, 0.0),
@@ -109,6 +111,99 @@ def _pallas_in_act(x: jnp.ndarray, act: str, order: str, eps: float,
 
 
 # ---------------------------------------------------------------------------
+# Tiled two-pass kernel for slabs too large for one VMEM block:
+# pass 1 accumulates per-(b, c) sum/sumsq over HW tiles; pass 2 normalizes
+# (+activation) tile by tile. Used for the big-spatial layers
+# (256^2 x 64, 128^2 x 256) where InstanceNorm is most bandwidth-bound.
+# ---------------------------------------------------------------------------
+
+
+def _stats_kernel(x_ref, out_ref, *, act: str, order: str):
+    t = pl.program_id(1)
+    x = x_ref[0].astype(jnp.float32)  # (T, C)
+    if order == "act_norm":
+        x = _ACTS[act](x)
+    s = jnp.sum(x, axis=0)
+    ss = jnp.sum(x * x, axis=0)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[0, 0, :] = s
+        out_ref[0, 1, :] = ss
+
+    @pl.when(t != 0)
+    def _acc():
+        out_ref[0, 0, :] += s
+        out_ref[0, 1, :] += ss
+
+
+def _apply_kernel(x_ref, stats_ref, o_ref, *, act: str, order: str,
+                  eps: float, hw: int):
+    x = x_ref[0].astype(jnp.float32)  # (T, C)
+    if order == "act_norm":
+        x = _ACTS[act](x)
+    s = stats_ref[0, 0, :]
+    ss = stats_ref[0, 1, :]
+    mu = s / hw
+    var = jnp.maximum(ss / hw - mu * mu, 0.0)
+    y = (x - mu[None, :]) * jax.lax.rsqrt(var + eps)[None, :]
+    if order == "norm_act":
+        y = _ACTS[act](y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _tile_rows(hw: int, c: int) -> int:
+    """Largest power-of-two row tile with slab bytes <= budget (min 8)."""
+    t = hw
+    while t > 8 and t * c * 4 > _VMEM_SLAB_BYTES:
+        t //= 2
+    return t
+
+
+def _pallas_in_act_tiled(x: jnp.ndarray, act: str, order: str, eps: float,
+                         interpret: bool = False) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    hw = h * w
+    t = _tile_rows(hw, c)
+    if hw % t != 0:  # non-power-of-two spatial: fall back
+        return _fused_reference(x, act, order, eps)
+    n_t = hw // t
+    x2 = x.reshape(b, hw, c)
+    mem = dict(memory_space=pltpu.VMEM) if _HAS_PLTPU else {}
+    stats = pl.pallas_call(
+        functools.partial(_stats_kernel, act=act, order=order),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        grid=(b, n_t),
+        in_specs=[pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0), **mem)],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0), **mem),
+        interpret=interpret,
+    )(x2)
+    out = pl.pallas_call(
+        functools.partial(
+            _apply_kernel, act=act, order=order, eps=eps, hw=hw
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        grid=(b, n_t),
+        in_specs=[
+            pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0), **mem),
+            pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0), **mem),
+        ],
+        out_specs=pl.BlockSpec((1, t, c), lambda i, j: (i, j, 0), **mem),
+        interpret=interpret,
+    )(x2, stats)
+    return out.reshape(b, h, w, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fused_tpu_tiled(x, act, order, eps):
+    return _pallas_in_act_tiled(x, act, order, eps)
+
+
+def _fused_tpu_tiled_fwd(x, act, order, eps):
+    return _pallas_in_act_tiled(x, act, order, eps), x
+
+
+# ---------------------------------------------------------------------------
 # custom-VJP wrapper: Pallas forward, analytic jnp backward
 # ---------------------------------------------------------------------------
 
@@ -166,6 +261,7 @@ def _fused_tpu_bwd(act, order, eps, x, g):
 
 
 _fused_tpu.defvjp(_fused_tpu_fwd, _fused_tpu_bwd)
+_fused_tpu_tiled.defvjp(_fused_tpu_tiled_fwd, _fused_tpu_bwd)
 
 
 def _slab_fits_vmem(x: jnp.ndarray) -> bool:
@@ -200,11 +296,17 @@ def instance_norm_act(
     """
     if act not in _ACTS:
         raise NotImplementedError(f"Activation not implemented: {act}")
+    if use_pallas == "tiled" and _HAS_PLTPU:
+        # explicit opt-in: two-pass tiled kernel regardless of slab size.
+        # Measured 4% slower than XLA's fusion on the cyclevaegan hot path
+        # (the second pass re-reads HBM without fusing into the adjacent
+        # conv), so it is not on the auto path — kept for large-C layers
+        # where XLA's reduction splitting regresses, and as the basis for a
+        # future conv-epilogue fusion.
+        return _fused_tpu_tiled(x, act, order, eps)
     if use_pallas is None:
         use_pallas = _on_tpu()
-    # the VMEM-fit check always applies: one batch element's (H*W, C) slab
-    # plus the output must fit scoped VMEM; larger layers take the pure-XLA
-    # lowering (which fuses fine) until the tiled two-pass kernel lands.
     if use_pallas and _HAS_PLTPU and _slab_fits_vmem(x):
+        # single-pass: whole (H*W, C) slab resident in VMEM
         return _fused_tpu(x, act, order, eps)
     return _fused_reference(x, act, order, eps)
