@@ -65,6 +65,7 @@ def create_dataloaders_hypersim(args):
         augment=aug,
         color_jitter=ColorJitterConfig(0.3, 0.3, 0.3, 0.15),
         paired_mode=args.paired,
+        uint8_output=True,
     )
     if args.test_split > 0:
         train_ds, test_ds = split_dataset(dataset, args.test_split, seed=42)
@@ -90,11 +91,13 @@ def create_dataloaders_maps(args):
     train_ds = SatelliteMapDataset(
         str(Path(args.data_dir) / "maps"), "train",
         augment=AugmentConfig(out_size=args.image_size, hflip_p=0.5),
+        uint8_output=True,
     )
     test_ds = SatelliteMapDataset(
         str(Path(args.data_dir) / "maps"), "val",
         augment=AugmentConfig(out_size=args.image_size, hflip_p=0.0,
                               random_crop=False),
+        uint8_output=True,
     )
     print(f"Training samples: {len(train_ds)}")
     print(f"Testing samples: {len(test_ds)}")
@@ -112,11 +115,13 @@ def create_dataloaders_summer2winter(args):
         str(Path(args.data_dir) / "summer2winter"), "train",
         augment=AugmentConfig(out_size=args.image_size, hflip_p=0.5),
         color_jitter=ColorJitterConfig(0.2, 0.2, 0.2, 0.1),
+        uint8_output=True,
     )
     test_ds = Summer2WinterDataset(
         str(Path(args.data_dir) / "summer2winter"), "test",
         augment=AugmentConfig(out_size=args.image_size, hflip_p=0.0,
                               random_crop=False),
+        uint8_output=True,
     )
     print(f"Training samples: {len(train_ds)}")
     print(f"Testing samples: {len(test_ds)}")

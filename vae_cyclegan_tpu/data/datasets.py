@@ -27,7 +27,8 @@ from vae_cyclegan_tpu.data.transforms import (
     AugmentConfig,
     ColorJitterConfig,
     apply_color_jitter,
-    apply_spatial,
+    apply_spatial_pil,
+    finalize,
     sample_color_params,
     sample_spatial_params,
 )
@@ -91,12 +92,14 @@ class HypersimDataset(_Dataset):
         augment: Optional[AugmentConfig] = None,
         color_jitter: Optional[ColorJitterConfig] = None,
         paired_mode: bool = True,
+        uint8_output: bool = False,
     ):
         self.root_dir = Path(root_dir)
         self.modalities = list(modalities)
         self.augment = augment
         self.color_jitter = color_jitter
         self.paired_mode = paired_mode
+        self.uint8_output = uint8_output
         if self.paired_mode and len(self.modalities) not in (1, 2):
             raise ValueError(
                 f"paired_mode requires 1 or 2 modalities, got {len(self.modalities)}"
@@ -153,11 +156,13 @@ class HypersimDataset(_Dataset):
     ) -> Array:
         info = self.samples[idx]
         img = _load_rgb(info["modality_paths"][modality])
+        # color-specific jitter BEFORE the spatial transform
+        # (Data_Manager.py:176-182)
         if modality == "color" and self.color_jitter is not None:
             img = apply_color_jitter(img, sample_color_params(rng, self.color_jitter))
-        if self.augment is None:
-            return np.asarray(img, dtype=np.float32) / 255.0
-        return apply_spatial(img, self.augment, spatial_params)
+        if self.augment is not None:
+            img = apply_spatial_pil(img, self.augment, spatial_params)
+        return finalize(img, self.uint8_output)
 
     def get(self, idx: int, rng: random.Random) -> Dict[str, Array]:
         shared = (
@@ -213,7 +218,9 @@ class SatelliteMapDataset(_Dataset):
         root_dir: str,
         split: str = "train",
         augment: Optional[AugmentConfig] = None,
+        uint8_output: bool = False,
     ):
+        self.uint8_output = uint8_output
         self.image_dir = os.path.join(root_dir, split)
         if not os.path.isdir(self.image_dir):
             raise ValueError(f"Directory not found: {self.image_dir}")
@@ -233,19 +240,13 @@ class SatelliteMapDataset(_Dataset):
         half = w // 2
         satellite = img.crop((0, 0, half, h))
         map_img = img.crop((half, 0, w, h))
-        params = (
-            sample_spatial_params(rng, self.augment)
-            if self.augment is not None
-            else None
-        )
-        if self.augment is None:
-            return {
-                "x": np.asarray(satellite, np.float32) / 255.0,
-                "y": np.asarray(map_img, np.float32) / 255.0,
-            }
+        if self.augment is not None:
+            params = sample_spatial_params(rng, self.augment)
+            satellite = apply_spatial_pil(satellite, self.augment, params)
+            map_img = apply_spatial_pil(map_img, self.augment, params)
         return {
-            "x": apply_spatial(satellite, self.augment, params),
-            "y": apply_spatial(map_img, self.augment, params),
+            "x": finalize(satellite, self.uint8_output),
+            "y": finalize(map_img, self.uint8_output),
         }
 
 
@@ -260,7 +261,9 @@ class Summer2WinterDataset(_Dataset):
         split: str = "train",
         augment: Optional[AugmentConfig] = None,
         color_jitter: Optional[ColorJitterConfig] = None,
+        uint8_output: bool = False,
     ):
+        self.uint8_output = uint8_output
         self.dir_A = os.path.join(root_dir, f"{split}A")
         self.dir_B = os.path.join(root_dir, f"{split}B")
         for d in (self.dir_A, self.dir_B):
@@ -284,12 +287,18 @@ class Summer2WinterDataset(_Dataset):
 
     def _load(self, path: str, rng: random.Random) -> Array:
         img = _load_rgb(path)
-        # train.py:309-319 applies ColorJitter inside the per-image transform
-        if self.color_jitter is not None and self.augment is not None:
-            img = apply_color_jitter(img, sample_color_params(rng, self.color_jitter))
-        if self.augment is None:
-            return np.asarray(img, np.float32) / 255.0
-        return apply_spatial(img, self.augment, sample_spatial_params(rng, self.augment))
+        if self.augment is not None:
+            # reference order (train.py:309-319): flip -> crop -> ColorJitter
+            # (jitter is pointwise, so flip/jitter order is immaterial);
+            # jittering the cropped 256^2 image is ~4x cheaper than full-res
+            img = apply_spatial_pil(
+                img, self.augment, sample_spatial_params(rng, self.augment)
+            )
+            if self.color_jitter is not None:
+                img = apply_color_jitter(
+                    img, sample_color_params(rng, self.color_jitter)
+                )
+        return finalize(img, self.uint8_output)
 
     def get(self, idx: int, rng: random.Random) -> Dict[str, Array]:
         path_a = os.path.join(self.dir_A, self.images_A[idx % len(self.images_A)])

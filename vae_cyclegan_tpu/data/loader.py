@@ -16,10 +16,27 @@ from __future__ import annotations
 import queue
 import random
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
+
+# -- process-worker plumbing -------------------------------------------------
+# Each worker process holds the dataset once (sent via initializer) and
+# fetches items by (position, index, epoch_seed); only the decoded arrays
+# cross the IPC boundary.
+_WORKER_DATASET = None
+
+
+def _process_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_fetch(args):
+    pos, idx, epoch_seed = args
+    rng = random.Random((epoch_seed * 1_000_003 + pos) & 0x7FFFFFFF)
+    return _WORKER_DATASET.get(idx, rng)
 
 
 class DataLoader:
@@ -33,6 +50,7 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         device_put: Optional[Callable[[Dict[str, np.ndarray]], Dict]] = None,
+        use_processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,7 +60,29 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.device_put = device_put
+        self.use_processes = use_processes
         self.epoch = 0
+        self._pool = None  # lazily-built persistent process pool
+
+    def _process_pool(self) -> ProcessPoolExecutor:
+        if self._pool is None:
+            self._pool = ProcessPoolExecutor(
+                self.num_workers,
+                initializer=_process_init,
+                initargs=(self.dataset,),
+            )
+        return self._pool
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -52,6 +92,22 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    def _drain_batches(self, batches, run_batch, out_q, stop) -> None:
+        pos = 0
+        for batch_indices in batches:
+            if stop.is_set():
+                return
+            items = run_batch(pos, batch_indices)
+            pos += len(batch_indices)
+            batch = {
+                k: np.stack([it[k] for it in items])
+                for k in items[0]
+                if isinstance(items[0][k], np.ndarray)
+            }
+            if self.device_put is not None:
+                batch = self.device_put(batch)
+            out_q.put(batch)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
@@ -77,26 +133,25 @@ class DataLoader:
 
         def producer():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    pos = 0
-                    for batch_indices in batches:
-                        if stop.is_set():
-                            return
-                        items = list(
-                            pool.map(
+                if self.use_processes:
+                    pool = self._process_pool()
+
+                    def run_batch(pos, batch_indices):
+                        return list(pool.map(
+                            _process_fetch,
+                            [(pos + j, ix, epoch_seed)
+                             for j, ix in enumerate(batch_indices)],
+                        ))
+                    self._drain_batches(batches, run_batch, out_q, stop)
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as tpool:
+                        def run_batch(pos, batch_indices):
+                            return list(tpool.map(
                                 fetch_one,
-                                [(pos + j, ix) for j, ix in enumerate(batch_indices)],
-                            )
-                        )
-                        pos += len(batch_indices)
-                        batch = {
-                            k: np.stack([it[k] for it in items])
-                            for k in items[0]
-                            if isinstance(items[0][k], np.ndarray)
-                        }
-                        if self.device_put is not None:
-                            batch = self.device_put(batch)
-                        out_q.put(batch)
+                                [(pos + j, ix)
+                                 for j, ix in enumerate(batch_indices)],
+                            ))
+                        self._drain_batches(batches, run_batch, out_q, stop)
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to consumer
                 out_q.put(e)

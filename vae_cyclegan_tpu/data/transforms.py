@@ -90,10 +90,10 @@ def sample_color_params(
     )
 
 
-def apply_spatial(
+def apply_spatial_pil(
     img: Image.Image, cfg: AugmentConfig, params: Optional[SpatialParams]
-) -> np.ndarray:
-    """Flip + square RandomResizedCrop(ratio=1) + bicubic resize -> f32 [0,1].
+) -> Image.Image:
+    """Flip + square RandomResizedCrop(ratio=1) + bicubic resize, in PIL.
 
     With ratio fixed at (1,1) the torchvision sampler reduces to: side =
     floor(sqrt(area_frac * W * H)) clamped to the image, uniform top-left.
@@ -106,7 +106,7 @@ def apply_spatial(
                 out = out.transpose(Image.FLIP_LEFT_RIGHT)
             if params.vflip:
                 out = out.transpose(Image.FLIP_TOP_BOTTOM)
-        return _to_float(out)
+        return out
 
     if params.hflip:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
@@ -118,7 +118,22 @@ def apply_spatial(
     top = int(params.top_frac * (h - side + 1))
     left = int(params.left_frac * (w - side + 1))
     img = img.crop((left, top, left + side, top + side))
-    img = img.resize((s, s), Image.BICUBIC)
+    return img.resize((s, s), Image.BICUBIC)
+
+
+def apply_spatial(
+    img: Image.Image, cfg: AugmentConfig, params: Optional[SpatialParams]
+) -> np.ndarray:
+    """apply_spatial_pil + f32 [0,1] conversion (ToTensor equivalent)."""
+    return _to_float(apply_spatial_pil(img, cfg, params))
+
+
+def finalize(img: Image.Image, uint8_output: bool) -> np.ndarray:
+    """PIL -> array. uint8 keeps the wire format 4x smaller (host->device
+    transfer); normalization to [0,1] then happens on-device inside the
+    jitted step (SURVEY.md §2.2 'on-device resize/normalize')."""
+    if uint8_output:
+        return np.asarray(img, dtype=np.uint8)
     return _to_float(img)
 
 
@@ -127,57 +142,23 @@ def _to_float(img: Image.Image) -> np.ndarray:
 
 
 def apply_color_jitter(img: Image.Image, params: ColorParams) -> Image.Image:
-    """ColorJitter with torchvision's adjustment formulas on [0,1] floats."""
-    arr = _to_float(img)
+    """ColorJitter via PIL ops, matching torchvision's PIL backend (which is
+    what the reference pipeline ran): ImageEnhance for brightness/contrast/
+    saturation, HSV-mode channel shift for hue. C-speed (~1ms at 256^2)."""
+    from PIL import ImageEnhance
+
     for op in params.order:
-        if op == 0:
-            arr = np.clip(arr * params.brightness, 0.0, 1.0)
-        elif op == 1:
-            gray = _grayscale(arr)
-            mean = gray.mean()
-            arr = np.clip(arr * params.contrast + (1 - params.contrast) * mean, 0, 1)
-        elif op == 2:
-            gray = _grayscale(arr)[..., None]
-            arr = np.clip(
-                arr * params.saturation + (1 - params.saturation) * gray, 0, 1
-            )
+        if op == 0 and params.brightness != 1.0:
+            img = ImageEnhance.Brightness(img).enhance(params.brightness)
+        elif op == 1 and params.contrast != 1.0:
+            img = ImageEnhance.Contrast(img).enhance(params.contrast)
+        elif op == 2 and params.saturation != 1.0:
+            img = ImageEnhance.Color(img).enhance(params.saturation)
         elif op == 3 and params.hue != 0.0:
-            arr = _shift_hue(arr, params.hue)
-    return Image.fromarray((arr * 255.0 + 0.5).astype(np.uint8))
-
-
-def _grayscale(arr: np.ndarray) -> np.ndarray:
-    return arr[..., 0] * 0.299 + arr[..., 1] * 0.587 + arr[..., 2] * 0.114
-
-
-def _shift_hue(arr: np.ndarray, hue_shift: float) -> np.ndarray:
-    """Shift hue by `hue_shift` (fraction of a full turn), vectorized HSV."""
-    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
-    maxc = arr.max(-1)
-    minc = arr.min(-1)
-    v = maxc
-    delta = maxc - minc
-    safe = np.where(delta == 0, 1.0, delta)
-    sat = np.where(maxc == 0, 0.0, delta / np.where(maxc == 0, 1.0, maxc))
-    rc = (maxc - r) / safe
-    gc = (maxc - g) / safe
-    bc = (maxc - b) / safe
-    h = np.where(
-        maxc == r, bc - gc, np.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
-    )
-    h = (h / 6.0) % 1.0
-    h = np.where(delta == 0, 0.0, h)
-    h = (h + hue_shift) % 1.0
-
-    i = np.floor(h * 6.0)
-    f = h * 6.0 - i
-    p = v * (1.0 - sat)
-    q = v * (1.0 - sat * f)
-    t = v * (1.0 - sat * (1.0 - f))
-    i = i.astype(np.int32) % 6
-    out = np.empty_like(arr)
-    conds = [i == k for k in range(6)]
-    out[..., 0] = np.select(conds, [v, q, p, p, t, v])
-    out[..., 1] = np.select(conds, [t, v, v, q, p, p])
-    out[..., 2] = np.select(conds, [p, p, t, v, v, q])
-    return out
+            h, s, v = img.convert("HSV").split()
+            h_arr = np.asarray(h, dtype=np.uint8)
+            h_arr = (h_arr.astype(np.int16)
+                     + int(params.hue * 255)) % 256
+            h = Image.fromarray(h_arr.astype(np.uint8), "L")
+            img = Image.merge("HSV", (h, s, v)).convert("RGB")
+    return img

@@ -32,17 +32,40 @@ except Exception:  # pragma: no cover
         return it
 
 
+def _normalize_batch(batch):
+    import jax.numpy as jnp
+
+    return {
+        k: (v.astype(jnp.float32) / 255.0 if v.dtype == jnp.uint8 else v)
+        for k, v in batch.items()
+    }
+
+
+def _to_float_image(arr):
+    arr = np.asarray(arr)
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    return arr
+
+
 class Engine:
     """Owns the jitted step functions, mesh placement, and epoch loops."""
 
     def __init__(self, task: Task, mesh=None, donate: bool = True):
         self.task = task
         self.mesh = mesh if mesh is not None else make_mesh()
+        # Batches may arrive as uint8 (4x cheaper host->device transfer);
+        # normalization to [0,1] f32 happens here, inside the jitted step.
         self.train_step = jax.jit(
-            task.train_step, donate_argnums=(0,) if donate else ()
+            lambda s, b: task.train_step(s, _normalize_batch(b)),
+            donate_argnums=(0,) if donate else (),
         )
-        self.eval_step = jax.jit(task.eval_step)
-        self.generate = jax.jit(task.generate)
+        self.eval_step = jax.jit(
+            lambda s, b, r: task.eval_step(s, _normalize_batch(b), r)
+        )
+        self.generate = jax.jit(
+            lambda s, b, r: task.generate(s, _normalize_batch(b), r)
+        )
         self._eval_counter = 0
 
     def init_state(self, seed: int = 0) -> TrainState:
@@ -115,6 +138,6 @@ class Engine:
             avg,
             np.asarray(last_Gx) if last_Gx is not None else None,
             np.asarray(last_Fy) if last_Fy is not None else None,
-            np.asarray(last_x) if last_x is not None else None,
-            np.asarray(last_y) if last_y is not None else None,
+            _to_float_image(last_x) if last_x is not None else None,
+            _to_float_image(last_y) if last_y is not None else None,
         )
