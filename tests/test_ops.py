@@ -191,3 +191,44 @@ def test_tiled_kernel_vjp_matches_reference(rng, monkeypatch):
     (want,) = ref_vjp(g)
     (got,) = inmod._fused_tpu_bwd("relu", "act_norm", 1e-5, x, g)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+@pytest.mark.parametrize("k", [3, 7])
+def test_reflect_conv_strip_fix_exact(rng, k):
+    """Fused reflect conv == pad-then-conv, values and gradients."""
+    from vae_cyclegan_tpu.ops.reflect_conv import reflect_conv
+
+    x = jnp.asarray(rng.randn(2, 12, 10, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, k, 4, 5).astype(np.float32)) * 0.1
+
+    def naive(x_, w_):
+        xp = jnp.pad(
+            x_, ((0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)),
+            mode="reflect",
+        )
+        return jax.lax.conv_general_dilated(
+            xp, w_, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    a = naive(x, w)
+    b = reflect_conv(x, w)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+    ga = jax.grad(lambda w_: jnp.sum(naive(x, w_) ** 2))(w)
+    gb = jax.grad(lambda w_: jnp.sum(reflect_conv(x, w_) ** 2))(w)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(ga), rtol=1e-4,
+                               atol=1e-4)
+    gxa = jax.grad(lambda x_: jnp.sum(naive(x_, w) ** 2))(x)
+    gxb = jax.grad(lambda x_: jnp.sum(reflect_conv(x_, w) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gxb), np.asarray(gxa), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_reflect_conv_small_input_fallback(rng):
+    from vae_cyclegan_tpu.ops.reflect_conv import reflect_conv
+
+    x = jnp.asarray(rng.randn(1, 2, 2, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 3, 2).astype(np.float32))
+    out = reflect_conv(x, w)  # falls back to explicit pad
+    assert out.shape == (1, 2, 2, 2)
