@@ -1,0 +1,146 @@
+#!/usr/bin/env python3
+"""Loss-curve parity harness: train the reference (torch) and this framework
+side by side from IDENTICAL initial weights on an IDENTICAL batch sequence,
+and record per-step loss trajectories.
+
+Covers the BASELINE.json parity requirement ("per-loss curves within 2%")
+for the deterministic architectures (autoencoder, cycleae — no sampling
+anywhere in their steps); the VAE/GAN families are covered by the exact
+one-step/trajectory parity tests in tests/test_reference_parity.py.
+
+Usage:
+    python scripts/parity_curves.py --steps 40 --out docs/parity_curves.json
+
+Requires the reference repo mounted at /root/reference (read-only oracle).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def _import_reference():
+    for name in ("torchvision", "torchvision.transforms"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.path.insert(0, "/root/reference")
+    import Networks
+
+    return Networks
+
+
+def run_pair(arch: str, steps: int, image_size: int, batch: int, seed: int):
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig, OptimConfig, LossConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+
+    ref = _import_reference()
+    torch.manual_seed(seed)
+    if arch == "autoencoder":
+        tmodel = ref.Autoencoder()
+    elif arch == "cycleae":
+        tmodel = ref.CycleAE(paired=True)
+    else:
+        raise ValueError(f"unsupported deterministic arch {arch}")
+    tmodel.configure_optimizers(lr=2e-4)
+    tmodel.configure_loss(
+        lambda_kl=1e-5, lambda_gan=1.0, lambda_identity=5.0,
+        lambda_cycle=10.0, lambda_recon=1.0,
+    )
+
+    task = create_task(
+        arch,
+        model=ModelConfig(image_size=image_size, base_width=64,
+                          use_pallas=False),
+        optim=OptimConfig(lr=2e-4),
+        loss=LossConfig(),
+        paired=True,
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state = load_into_state(
+        state, arch,
+        {k: v.detach().numpy() for k, v in tmodel.state_dict().items()},
+    )
+
+    rng = np.random.RandomState(seed)
+    # fixed batch sequence shared by both frameworks
+    batches = [
+        (
+            rng.rand(batch, image_size, image_size, 3).astype(np.float32),
+            rng.rand(batch, image_size, image_size, 3).astype(np.float32),
+        )
+        for _ in range(steps)
+    ]
+
+    step_fn = jax.jit(task.train_step)
+    torch_curve, jax_curve = [], []
+    for x, y in batches:
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+        t_metrics = tmodel.training_step({"x": tx, "y": ty})
+        torch_curve.append(float(t_metrics["G_loss"]))
+        state, j_metrics = step_fn(
+            state, {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+        )
+        jax_curve.append(float(j_metrics["G_loss"]))
+
+    rel = [
+        abs(a - b) / max(abs(b), 1e-9) for a, b in zip(jax_curve, torch_curve)
+    ]
+    return {
+        "architecture": arch,
+        "steps": steps,
+        "image_size": image_size,
+        "batch": batch,
+        "torch_G_loss": torch_curve,
+        "jax_G_loss": jax_curve,
+        "relative_gap": rel,
+        "max_relative_gap": max(rel),
+        "final_relative_gap": rel[-1],
+    }
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=40)
+    parser.add_argument("--image_size", type=int, default=64)
+    parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--archs", nargs="+",
+                        default=["autoencoder", "cycleae"])
+    parser.add_argument("--out", type=str, default="docs/parity_curves.json")
+    args = parser.parse_args(argv)
+
+    results = []
+    for arch in args.archs:
+        print(f"running {arch} for {args.steps} steps in both frameworks...")
+        r = run_pair(arch, args.steps, args.image_size, args.batch, args.seed)
+        print(
+            f"  {arch}: max relative G_loss gap over {args.steps} steps = "
+            f"{r['max_relative_gap']:.4%}, final = {r['final_relative_gap']:.4%}"
+        )
+        results.append(r)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
