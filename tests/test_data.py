@@ -168,3 +168,29 @@ def test_color_jitter_only_on_color_modality(dataset_root):
     b = ds_j.get(0, random.Random(3))
     np.testing.assert_array_equal(a["x"], b["x"])  # depth untouched
     assert not np.array_equal(a["y"], b["y"])  # color jittered
+
+
+def test_loader_multihost_sharding(dataset_root):
+    """shard_index/shard_count slices of the same global order are disjoint
+    and together cover every full global batch."""
+    ds = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "normal"],
+        augment=AugmentConfig(out_size=16), paired_mode=True,
+    )
+    full = DataLoader(ds, batch_size=4, shuffle=True, seed=3)
+    shard0 = DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                        shard_index=0, shard_count=2)
+    shard1 = DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                        shard_index=1, shard_count=2)
+    f = list(full)
+    s0 = list(shard0)
+    s1 = list(shard1)
+    # 12 samples -> 3 global batches of 4; partial-free so shards see all 3
+    assert len(s0) == len(s1) == 3
+    for i in range(3):
+        assert s0[i]["x"].shape[0] == s1[i]["x"].shape[0] == 2
+        merged = np.concatenate([s0[i]["x"], s1[i]["x"]])
+        np.testing.assert_array_equal(merged, f[i]["x"][:4])
+
+    with pytest.raises(ValueError, match="not divisible"):
+        DataLoader(ds, batch_size=5, shard_count=2)

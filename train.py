@@ -47,6 +47,15 @@ from vae_cyclegan_tpu.utils import (
 )
 from vae_cyclegan_tpu.utils.tb import TBWriter, truncate_tensorboard_events
 
+def _shard_kwargs(args):
+    """Multi-host data sharding: each process loads its slice of every
+    global batch (loader shard_index/shard_count)."""
+    if getattr(args, "multihost", False) and jax.process_count() > 1:
+        return {"shard_index": jax.process_index(),
+                "shard_count": jax.process_count()}
+    return {}
+
+
 DATASET_MODALITY_DEFAULTS = {
     "hypersim": ("depth", "normal"),
     "summer2winter": ("summer", "winter"),
@@ -75,11 +84,11 @@ def create_dataloaders_hypersim(args):
         print(f"Training samples: {len(train_ds)}")
     train_loader = DataLoader(
         train_ds, args.batch_size, shuffle=True, seed=args.seed,
-        num_workers=args.num_workers,
+        num_workers=args.num_workers, **_shard_kwargs(args),
     )
     test_loader = (
         DataLoader(test_ds, args.batch_size, shuffle=False,
-                   num_workers=args.num_workers)
+                   num_workers=args.num_workers, **_shard_kwargs(args))
         if test_ds is not None and len(test_ds) > 0
         else None
     )
@@ -103,9 +112,9 @@ def create_dataloaders_maps(args):
     print(f"Testing samples: {len(test_ds)}")
     return (
         DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
-                   num_workers=args.num_workers),
+                   num_workers=args.num_workers, **_shard_kwargs(args)),
         DataLoader(test_ds, args.batch_size, shuffle=False,
-                   num_workers=args.num_workers),
+                   num_workers=args.num_workers, **_shard_kwargs(args)),
     )
 
 
@@ -127,9 +136,9 @@ def create_dataloaders_summer2winter(args):
     print(f"Testing samples: {len(test_ds)}")
     return (
         DataLoader(train_ds, args.batch_size, shuffle=True, seed=args.seed,
-                   num_workers=args.num_workers),
+                   num_workers=args.num_workers, **_shard_kwargs(args)),
         DataLoader(test_ds, args.batch_size, shuffle=False,
-                   num_workers=args.num_workers),
+                   num_workers=args.num_workers, **_shard_kwargs(args)),
     )
 
 

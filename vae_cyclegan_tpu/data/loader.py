@@ -51,7 +51,14 @@ class DataLoader:
         prefetch: int = 2,
         device_put: Optional[Callable[[Dict[str, np.ndarray]], Dict]] = None,
         use_processes: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
+        """shard_index/shard_count: multi-host data parallelism — every host
+        builds the SAME global batch order (same seed/epoch) and takes its
+        contiguous slice of each global batch, so
+        jax.make_array_from_process_local_data assembles consistent global
+        arrays across processes."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -61,6 +68,13 @@ class DataLoader:
         self.prefetch = prefetch
         self.device_put = device_put
         self.use_processes = use_processes
+        if batch_size % shard_count != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by shard_count "
+                f"{shard_count}"
+            )
+        self.shard_index = shard_index
+        self.shard_count = shard_count
         self.epoch = 0
         self._pool = None  # lazily-built persistent process pool
 
@@ -94,12 +108,10 @@ class DataLoader:
         self.epoch = epoch
 
     def _drain_batches(self, batches, run_batch, out_q, stop) -> None:
-        pos = 0
-        for batch_indices in batches:
+        for pos_idx_pairs in batches:
             if stop.is_set():
                 return
-            items = run_batch(pos, batch_indices)
-            pos += len(batch_indices)
+            items = run_batch(pos_idx_pairs)
             batch = {
                 k: np.stack([it[k] for it in items])
                 for k in items[0]
@@ -122,6 +134,22 @@ class DataLoader:
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        # attach GLOBAL positions (the augmentation RNG key), so shards of
+        # the same global batch draw the same per-example augmentations as
+        # a single-host run would
+        pos = 0
+        positioned = []
+        for b in batches:
+            positioned.append([(pos + j, ix) for j, ix in enumerate(b)])
+            pos += len(b)
+        batches = positioned
+        if self.shard_count > 1:
+            # every host slices the same global batch; partial final batches
+            # are dropped (they can't be split evenly across hosts)
+            batches = [b for b in batches if len(b) == self.batch_size]
+            local = self.batch_size // self.shard_count
+            lo = self.shard_index * local
+            batches = [b[lo : lo + local] for b in batches]
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -136,21 +164,16 @@ class DataLoader:
                 if self.use_processes:
                     pool = self._process_pool()
 
-                    def run_batch(pos, batch_indices):
+                    def run_batch(pos_idx_pairs):
                         return list(pool.map(
                             _process_fetch,
-                            [(pos + j, ix, epoch_seed)
-                             for j, ix in enumerate(batch_indices)],
+                            [(p, ix, epoch_seed) for p, ix in pos_idx_pairs],
                         ))
                     self._drain_batches(batches, run_batch, out_q, stop)
                 else:
                     with ThreadPoolExecutor(self.num_workers) as tpool:
-                        def run_batch(pos, batch_indices):
-                            return list(tpool.map(
-                                fetch_one,
-                                [(pos + j, ix)
-                                 for j, ix in enumerate(batch_indices)],
-                            ))
+                        def run_batch(pos_idx_pairs):
+                            return list(tpool.map(fetch_one, pos_idx_pairs))
                         self._drain_batches(batches, run_batch, out_q, stop)
                 out_q.put(None)
             except BaseException as e:  # surface worker errors to consumer

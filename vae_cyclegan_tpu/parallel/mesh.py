@@ -48,14 +48,22 @@ def shard_batch(
 ) -> Dict[str, jax.Array]:
     """Place a host batch onto the mesh, batch dim split over 'data'.
 
-    If the batch size does not divide the mesh (the reference default batch
-    is 5), fall back to replication — correctness preserved, parallel
-    speedup forfeited for that step.
+    Multi-host: `batch` holds this process's LOCAL slice (the loader's
+    shard_index/shard_count slicing); the global array is assembled with
+    jax.make_array_from_process_local_data over DCN-spanning shardings.
+
+    Single host: direct device_put. If the batch size does not divide the
+    mesh (the reference default batch is 5), fall back to replication —
+    correctness preserved, parallel speedup forfeited for that step.
     """
     n = mesh.devices.size
+    multihost = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
-        if v.shape[0] % n == 0:
+        if multihost:
+            sharding = batch_sharding(mesh, axis_name)
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        elif v.shape[0] % n == 0:
             out[k] = jax.device_put(v, batch_sharding(mesh, axis_name))
         else:
             out[k] = jax.device_put(v, replicated_sharding(mesh))
