@@ -97,23 +97,3 @@ def _strip_reflect_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     out = out.at[:, :, :half].set(left)
     out = out.at[:, :, width - half:].set(right)
     return out
-
-
-@jax.custom_vjp
-def _strip_fwd_naive_bwd(x, w):
-    return _strip_reflect_conv(x, w)
-
-
-def _sfnb_fwd(x, w):
-    return _strip_reflect_conv(x, w), (x, w)
-
-
-def _sfnb_bwd(res, g):
-    x, w = res
-    # classic padded-conv VJP; the primal conv is dead code and DCE'd, so
-    # this costs one pad materialization in the backward only
-    _, vjp = jax.vjp(_naive_reflect_conv, x, w)
-    return vjp(g)
-
-
-_strip_fwd_naive_bwd.defvjp(_sfnb_fwd, _sfnb_bwd)
