@@ -121,11 +121,14 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--archs", nargs="+",
                         default=["autoencoder", "cycleae"])
+    parser.add_argument("--cycleaegan_steps", type=int, default=0,
+                        help="also run N full CycleAEGAN steps at 256^2")
     parser.add_argument("--out", type=str, default="docs/parity_curves.json")
     args = parser.parse_args(argv)
 
     results = []
-    for arch in args.archs:
+    archs = [a for a in args.archs if a != "none"]
+    for arch in archs:
         print(f"running {arch} for {args.steps} steps in both frameworks...")
         r = run_pair(arch, args.steps, args.image_size, args.batch, args.seed)
         print(
@@ -134,12 +137,79 @@ def main(argv=None) -> int:
         )
         results.append(r)
 
+    if args.cycleaegan_steps > 0:
+        print(f"running cycleaegan for {args.cycleaegan_steps} full steps...")
+        results.append(run_cycleaegan_steps(args.cycleaegan_steps,
+                                            seed=args.seed))
+
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")
     return 0
+
+
+
+
+def run_cycleaegan_steps(steps: int = 2, batch: int = 1, seed: int = 0):
+    """One-off metric-by-metric parity for CycleAEGAN full steps at the
+    native 256x256 (its torch Discriminator hardcodes the 16x16 head).
+    Deterministic architecture: exact comparison is meaningful."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig, OptimConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+
+    ref = _import_reference()
+    torch.manual_seed(seed)
+    tm = ref.CycleAEGAN(paired=True)
+    tm.configure_optimizers(lr=2e-4)
+    tm.configure_loss(lambda_gan=1.0, lambda_identity=5.0, lambda_cycle=10.0)
+
+    task = create_task(
+        "cycleaegan",
+        model=ModelConfig(image_size=256, base_width=64, use_pallas=False),
+        optim=OptimConfig(lr=2e-4),
+        paired=True,
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state = load_into_state(
+        state, "cycleaegan",
+        {k: v.detach().numpy() for k, v in tm.state_dict().items()},
+    )
+    step_fn = jax.jit(task.train_step)
+
+    rng = np.random.RandomState(seed)
+    records = []
+    for i in range(steps):
+        x = rng.rand(batch, 256, 256, 3).astype(np.float32)
+        y = rng.rand(batch, 256, 256, 3).astype(np.float32)
+        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+        t_metrics = tm.training_step({"x": tx, "y": ty})
+        state, j_metrics = step_fn(
+            state, {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+        )
+        gaps = {}
+        for k, tv in t_metrics.items():
+            if k in j_metrics:
+                jv = float(j_metrics[k])
+                gaps[k] = {
+                    "torch": float(tv),
+                    "jax": jv,
+                    "abs_gap": abs(jv - float(tv)),
+                }
+        records.append(gaps)
+        worst = max(gaps.items(), key=lambda kv: kv[1]["abs_gap"])
+        print(f"  step {i}: worst metric gap {worst[0]} = "
+              f"{worst[1]['abs_gap']:.5f} "
+              f"(torch {worst[1]['torch']:.4f} vs jax {worst[1]['jax']:.4f})")
+    return {"architecture": "cycleaegan", "steps": steps,
+            "image_size": 256, "batch": batch, "per_step_metrics": records}
 
 
 if __name__ == "__main__":

@@ -108,3 +108,31 @@ def test_engine_epoch_on_mesh():
     )
     assert np.isfinite(val_loss)
     assert gx.shape[-1] == 3
+
+
+def test_uint8_wire_format_equivalence():
+    """uint8 batches (host->device wire format) must produce the same
+    losses as float batches: normalization happens inside the jitted step."""
+    task = create_task("vae", model=MC)
+    engine = Engine(task, make_mesh(), donate=False)
+    state = engine.init_state(seed=0)
+
+    u8 = (np.random.RandomState(0).rand(8, 32, 32, 3) * 255).astype(np.uint8)
+    batch_u8 = {"x": u8, "y": u8}
+    batch_f32 = {"x": u8.astype(np.float32) / 255.0,
+                 "y": u8.astype(np.float32) / 255.0}
+
+    _, m_u8 = engine.train_step(state, engine._put(batch_u8))
+    _, m_f32 = engine.train_step(state, engine._put(batch_f32))
+    assert float(m_u8["G_loss"]) == pytest.approx(
+        float(m_f32["G_loss"]), rel=1e-6
+    )
+
+    rng = jax.random.PRNGKey(1)
+    e_u8 = engine.eval_step(state, engine._put(batch_u8), rng)
+    e_f32 = engine.eval_step(state, engine._put(batch_f32), rng)
+    # u8 and f32 signatures compile to different programs; allow
+    # fusion-order float noise on the image outputs
+    np.testing.assert_allclose(
+        np.asarray(e_u8["Gx"]), np.asarray(e_f32["Gx"]), atol=5e-3
+    )
