@@ -105,3 +105,29 @@ def test_train_rejects_mismatched_ae_modalities(data_root, tmp_path):
     args.source_modality, args.target_modality = "depth", "normal"
     with pytest.raises(ValueError, match="same for Autoencoder/VAE"):
         train_cli.main(args)
+
+
+def test_pretrain_transfer_pipeline(data_root, tmp_path):
+    """doubleae pretraining -> cycleae --pretrained_doubleae, through the
+    CLI with the donated jitted step (regression: transferred G/F used to
+    alias the same encoder buffers, tripping double-donation)."""
+    import train as train_cli
+
+    out_root = tmp_path / "runs"
+    pre_args = _train_args(data_root, out_root, epochs=1)
+    pre_args.architecture = "doubleae"
+    pre_args.source_modality, pre_args.target_modality = "depth", "normal"
+    pre_run = train_cli.main(pre_args)
+
+    cyc_args = _train_args(data_root, out_root, epochs=1)
+    cyc_args.architecture = "cycleae"
+    cyc_args.source_modality, cyc_args.target_modality = "depth", "normal"
+    cyc_args.pretrained_doubleae = str(pre_run / "checkpoint_epoch_1")
+    cyc_run = train_cli.main(cyc_args)
+    assert (cyc_run / "checkpoint_epoch_1").is_dir()
+
+    # wrong-architecture guard (reference train.py:447-449 semantics)
+    bad_args = _train_args(data_root, out_root, epochs=1)
+    bad_args.pretrained_doubleae = str(pre_run / "checkpoint_epoch_1")
+    with pytest.raises(ValueError, match="pretrained_doubleae"):
+        train_cli.main(bad_args)

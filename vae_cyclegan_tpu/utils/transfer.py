@@ -35,6 +35,14 @@ def _assert_equal_subtree(a: Any, b: Any, what: str) -> None:
             raise AssertionError(f"{what} mismatch — G and F may be swapped!")
 
 
+def _copy_tree(tree: Any) -> Any:
+    """Fresh buffers per assignment. G and F both receive the shared
+    encoder; without copies they would alias the SAME arrays and the jitted
+    step's buffer donation would reject the duplicate (torch's
+    load_state_dict copies implicitly — reference utils.py:111-117)."""
+    return jax.tree_util.tree_map(lambda a: np.array(a, copy=True), tree)
+
+
 def load_pretrained_doubleae_to_cycle(
     state: TrainState, doubleae_params: Dict[str, Any]
 ) -> TrainState:
@@ -49,10 +57,10 @@ def load_pretrained_doubleae_to_cycle(
     new_params = dict(state.params)
     new_params["G"] = dict(state.params["G"])
     new_params["F"] = dict(state.params["F"])
-    new_params["G"]["encoder"] = src["encoder"]
-    new_params["G"]["decoder"] = src["decoder_B"]
-    new_params["F"]["encoder"] = src["encoder"]
-    new_params["F"]["decoder"] = src["decoder_A"]
+    new_params["G"]["encoder"] = _copy_tree(src["encoder"])
+    new_params["G"]["decoder"] = _copy_tree(src["decoder_B"])
+    new_params["F"]["encoder"] = _copy_tree(src["encoder"])
+    new_params["F"]["decoder"] = _copy_tree(src["decoder_A"])
     state = state.replace(params=new_params)
     _assert_equal_subtree(state.params["G"]["decoder"], src["decoder_B"], "G.decoder")
     _assert_equal_subtree(state.params["F"]["decoder"], src["decoder_A"], "F.decoder")
@@ -76,14 +84,14 @@ def load_pretrained_doublevae_to_cycle(
     new_params = dict(state.params)
     new_params["G"] = dict(state.params["G"])
     new_params["F"] = dict(state.params["F"])
-    new_params["G"]["encoder"] = src["encoder"]
-    new_params["G"]["variational_encoder_block"] = src["vae_encoder_block_B"]
-    new_params["G"]["variational_decoder_block"] = src["vae_decoder_block_B"]
-    new_params["G"]["decoder"] = src["decoder_B"]
-    new_params["F"]["encoder"] = src["encoder"]
-    new_params["F"]["variational_encoder_block"] = src["vae_encoder_block_A"]
-    new_params["F"]["variational_decoder_block"] = src["vae_decoder_block_A"]
-    new_params["F"]["decoder"] = src["decoder_A"]
+    new_params["G"]["encoder"] = _copy_tree(src["encoder"])
+    new_params["G"]["variational_encoder_block"] = _copy_tree(src["vae_encoder_block_B"])
+    new_params["G"]["variational_decoder_block"] = _copy_tree(src["vae_decoder_block_B"])
+    new_params["G"]["decoder"] = _copy_tree(src["decoder_B"])
+    new_params["F"]["encoder"] = _copy_tree(src["encoder"])
+    new_params["F"]["variational_encoder_block"] = _copy_tree(src["vae_encoder_block_A"])
+    new_params["F"]["variational_decoder_block"] = _copy_tree(src["vae_decoder_block_A"])
+    new_params["F"]["decoder"] = _copy_tree(src["decoder_A"])
     state = state.replace(params=new_params)
     # Sanity checks per utils.py:205-235
     _assert_equal_subtree(state.params["G"]["decoder"], src["decoder_B"], "G.decoder")
