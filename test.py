@@ -116,12 +116,21 @@ def build_test_loader(args_dict: Dict, data_dir: str, batch_size: int = 1,
     return DataLoader(ds, batch_size, shuffle=False, num_workers=4)
 
 
+_GENERATE_CACHE: Dict[int, object] = {}
+
+
 def run_inference(task, state, batch: Dict[str, np.ndarray], seed: int = 0):
-    """Gx for any architecture (reference test.py:284-314)."""
+    """Gx for any architecture (reference test.py:284-314). The generate
+    function is jitted once per task (eager dispatch per op is slow on
+    remote TPU backends)."""
     import jax.numpy as jnp
 
+    gen = _GENERATE_CACHE.get(id(task))
+    if gen is None:
+        gen = jax.jit(task.generate)
+        _GENERATE_CACHE[id(task)] = gen
     device_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    out = task.generate(state, device_batch, jax.random.PRNGKey(seed))
+    out = gen(state, device_batch, jax.random.PRNGKey(seed))
     return np.clip(np.asarray(out, dtype=np.float32), 0.0, 1.0)
 
 
