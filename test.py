@@ -27,10 +27,6 @@ from vae_cyclegan_tpu.data import (
 from vae_cyclegan_tpu.models.tasks import create_task
 from vae_cyclegan_tpu.utils import checkpoint_exists, load_checkpoint
 
-CYCLE_ARCHS = {"cycleae", "cyclevae", "cycleaegan", "cyclevaegan",
-               "doubleae", "doublevae"}
-
-
 def discover_runs(runs_dir: str) -> List[Dict]:
     """Scan runs/*/ for args.json + best_model (reference test.py:31-70)."""
     runs = []
