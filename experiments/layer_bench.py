@@ -41,11 +41,15 @@ LAYERS = [
 ]
 
 
+REPEATS = 16  # amortize the ~40ms dispatch+loss-harness floor per timing
+
+
 def main() -> int:
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     dtype = jnp.bfloat16
     key = jax.random.PRNGKey(0)
-    print(f"batch={batch}, dtype=bfloat16, backend={jax.default_backend()}")
+    print(f"batch={batch}, dtype=bfloat16, repeats={REPEATS}, "
+          f"backend={jax.default_backend()}")
     total = 0.0
     for name, s, cin, cout, k, order in LAYERS:
         x = jax.random.normal(key, (batch, s, s, cin), dtype)
@@ -57,10 +61,22 @@ def main() -> int:
                 return y
             return instance_norm_act(y, act="relu", order=order)
 
-        grad_fn = jax.jit(jax.grad(
-            lambda w_, x_: jnp.sum(block(x_, w_).astype(jnp.float32) ** 2),
-            argnums=(0, 1),
-        ))
+        def loss(w_, x_):
+            # scan REPEATS applications with a per-step input perturbation
+            # so XLA cannot CSE them into one; remat per iteration so the
+            # backward doesn't hold 16 copies of the activations
+            blk = jax.checkpoint(block)
+
+            def body(acc, i):
+                y = blk(x_ * (1.0 + i.astype(dtype) * 1e-3), w_)
+                return acc + jnp.sum(y.astype(jnp.float32) ** 2), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), jnp.arange(REPEATS)
+            )
+            return acc
+
+        grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1)))
         out = grad_fn(w, x)
         float(jnp.sum(out[0].astype(jnp.float32)))
         ts = []
@@ -70,10 +86,10 @@ def main() -> int:
             float(jnp.sum(out[0].astype(jnp.float32)))
             ts.append(time.perf_counter() - t0)
         ts.sort()
-        p50 = ts[len(ts) // 2] * 1000
+        per_layer = ts[len(ts) // 2] * 1000 / REPEATS
         gflop = 2 * s * s * cin * cout * k * k * batch / 1e9 * 3  # fwd+2 bwd
-        print(f"{name:24s} {p50:8.2f} ms  (~{gflop / p50:6.1f} TFLOP/s)")
-        total += p50
+        print(f"{name:24s} {per_layer:8.2f} ms  (~{gflop / per_layer:6.1f} TFLOP/s)")
+        total += per_layer
     print(f"{'sum (one enc+dec pass)':24s} {total:8.2f} ms")
     return 0
 
