@@ -124,7 +124,9 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
         order = list(range(n))
-        epoch_seed = hash((self.seed, self.epoch)) & 0x7FFFFFFF
+        # explicit arithmetic (not hash()) so every host in a multi-host run
+        # derives the identical epoch seed regardless of interpreter details
+        epoch_seed = (self.seed * 2_654_435_761 + self.epoch * 40_503) & 0x7FFFFFFF
         if self.shuffle:
             random.Random(epoch_seed).shuffle(order)
 
