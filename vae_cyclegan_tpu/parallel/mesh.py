@@ -21,9 +21,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
-    """1-D mesh over the first `n_devices` devices (default: all)."""
+    """1-D mesh over the first `n_devices` devices (default: all).
+
+    Raises if fewer devices exist than requested — a silently truncated
+    mesh runs "multi-chip" code on one chip and hides sharding bugs.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) are visible; for a virtual "
+                f"CPU mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                f"--xla_force_host_platform_device_count={n_devices} "
+                f"before JAX backend initialization"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
