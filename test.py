@@ -115,12 +115,25 @@ def build_test_loader(args_dict: Dict, data_dir: str, batch_size: int = 1,
 _GENERATE_CACHE: Dict[int, object] = {}
 
 
+def normalize_batch_keys(batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Accept legacy 'A'/'B' batch keys alongside 'x'/'y'
+    (reference test.py:301-303)."""
+    if "x" not in batch and "A" in batch:
+        mapped = {"x": batch["A"], "y": batch.get("B", batch["A"])}
+        mapped.update(
+            {k: v for k, v in batch.items() if k not in ("A", "B")}
+        )
+        return mapped
+    return batch
+
+
 def run_inference(task, state, batch: Dict[str, np.ndarray], seed: int = 0):
     """Gx for any architecture (reference test.py:284-314). The generate
     function is jitted once per task (eager dispatch per op is slow on
     remote TPU backends)."""
     import jax.numpy as jnp
 
+    batch = normalize_batch_keys(batch)
     gen = _GENERATE_CACHE.get(id(task))
     if gen is None:
         gen = jax.jit(task.generate)
@@ -221,6 +234,7 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
         grids: Dict[str, List[Dict[str, np.ndarray]]] = {n: [] for n in models}
 
         for i, batch in enumerate(loader):
+            batch = normalize_batch_keys(batch)
             x, y = batch["x"][0], batch["y"][0]
             outputs = {}
             for name, (task, state) in models.items():

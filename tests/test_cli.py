@@ -131,3 +131,29 @@ def test_pretrain_transfer_pipeline(data_root, tmp_path):
     bad_args.pretrained_doubleae = str(pre_run / "checkpoint_epoch_1")
     with pytest.raises(ValueError, match="pretrained_doubleae"):
         train_cli.main(bad_args)
+
+
+def test_eval_driver_legacy_ab_batch_keys():
+    """The eval driver accepts legacy 'A'/'B' batch keys (reference
+    test.py:301-303)."""
+    import importlib.util
+    from pathlib import Path
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_driver", Path(__file__).resolve().parents[1] / "test.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    a = np.zeros((1, 4, 4, 3), np.float32)
+    b = np.ones((1, 4, 4, 3), np.float32)
+    out = mod.normalize_batch_keys({"A": a, "B": b})
+    np.testing.assert_array_equal(out["x"], a)
+    np.testing.assert_array_equal(out["y"], b)
+    # single-key legacy batch: y falls back to A (x == y)
+    out1 = mod.normalize_batch_keys({"A": a})
+    np.testing.assert_array_equal(out1["y"], a)
+    # modern batches pass through untouched
+    modern = {"x": a, "y": b}
+    assert mod.normalize_batch_keys(modern) is modern

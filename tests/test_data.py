@@ -194,3 +194,29 @@ def test_loader_multihost_sharding(dataset_root):
 
     with pytest.raises(ValueError, match="not divisible"):
         DataLoader(ds, batch_size=5, shard_count=2)
+
+
+def test_loader_early_abandon_no_deadlock(dataset_root):
+    """Abandoning the iterator mid-epoch must not deadlock the producer
+    (stop-aware put) and must still advance the epoch so the next pass
+    reshuffles."""
+    ds = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "normal"],
+        augment=AugmentConfig(out_size=16), paired_mode=True,
+    )
+    loader = DataLoader(
+        ds, batch_size=2, shuffle=True, seed=11, num_workers=2, prefetch=1
+    )
+    first = None
+    for batch in loader:  # take one batch, abandon the rest
+        first = batch["x"]
+        break
+    assert loader.epoch == 1  # partial pass still advanced the epoch
+    # a fresh full pass works and uses the next epoch's shuffle
+    batches = list(loader)
+    assert len(batches) == 6
+    assert not np.array_equal(first, batches[0]["x"])
+    # repeated abandonments must not accumulate stuck producers
+    for _ in range(5):
+        next(iter(loader))
+    assert len(list(loader)) == 6

@@ -307,8 +307,10 @@ def main(args):
     # Initial validation, console only (reference train.py:483-507)
     if test_loader is not None:
         print(f"\n{'=' * 80}\nINITIAL VALIDATION (Before Training)\n{'=' * 80}")
-        loss0, comps0, *_ = engine.validate(state, test_loader,
-                                            progress=not args.quiet)
+        loss0, comps0, *_ = engine.validate(
+            state, test_loader, progress=not args.quiet,
+            rng=jax.random.fold_in(jax.random.PRNGKey(args.seed), start_epoch),
+        )
         print(f"Initial Test Loss: {loss0:.4f}")
         for k, v in comps0.items():
             print(f"  {k}: {v:.6f}")
@@ -341,7 +343,12 @@ def main(args):
 
         if test_loader is not None and epoch % args.log_image_freq == 0:
             test_loss, test_comps, test_Gx, test_Fy, test_x, test_y = (
-                engine.validate(state, test_loader, progress=not args.quiet)
+                engine.validate(
+                    state, test_loader, progress=not args.quiet,
+                    rng=jax.random.fold_in(
+                        jax.random.PRNGKey(args.seed), epoch + 1
+                    ),
+                )
             )
             print(f"Test Loss: {test_loss:.4f}")
             for k, v in test_comps.items():

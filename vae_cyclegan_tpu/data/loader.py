@@ -107,6 +107,19 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    @staticmethod
+    def _put_stopaware(out_q, item, stop) -> bool:
+        """Enqueue unless/until the consumer signalled stop. A plain
+        blocking put can deadlock a daemon producer forever when the
+        consumer abandons the iterator while the queue is full."""
+        while not stop.is_set():
+            try:
+                out_q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _drain_batches(self, batches, run_batch, out_q, stop) -> None:
         for pos_idx_pairs in batches:
             if stop.is_set():
@@ -119,7 +132,8 @@ class DataLoader:
             }
             if self.device_put is not None:
                 batch = self.device_put(batch)
-            out_q.put(batch)
+            if not self._put_stopaware(out_q, batch, stop):
+                return
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         n = len(self.dataset)
@@ -177,9 +191,9 @@ class DataLoader:
                         def run_batch(pos_idx_pairs):
                             return list(tpool.map(fetch_one, pos_idx_pairs))
                         self._drain_batches(batches, run_batch, out_q, stop)
-                out_q.put(None)
+                self._put_stopaware(out_q, None, stop)
             except BaseException as e:  # surface worker errors to consumer
-                out_q.put(e)
+                self._put_stopaware(out_q, e, stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -199,4 +213,5 @@ class DataLoader:
                     out_q.get_nowait()
                 except queue.Empty:
                     break
-        self.epoch += 1
+            # partial iterations still advance the epoch (reshuffle next time)
+            self.epoch += 1

@@ -66,7 +66,6 @@ class Engine:
         self.generate = jax.jit(
             lambda s, b, r: task.generate(s, _normalize_batch(b), r)
         )
-        self._eval_counter = 0
 
     def init_state(self, seed: int = 0) -> TrainState:
         state = self.task.init_state(jax.random.PRNGKey(seed))
@@ -110,18 +109,30 @@ class Engine:
         return state, avg.get("G_loss", float("nan")), avg, last_batch
 
     def validate(
-        self, state: TrainState, loader, progress: bool = True
+        self,
+        state: TrainState,
+        loader,
+        progress: bool = True,
+        rng: Optional[jax.Array] = None,
     ) -> Tuple[float, Dict[str, float], Any, Any, Any, Any]:
-        """Returns (avg_loss, avg_components, last_Gx, last_Fy, last_x, last_y)."""
+        """Returns (avg_loss, avg_components, last_Gx, last_Fy, last_x, last_y).
+
+        `rng` is the validation key for stochastic (VAE-family) eval steps;
+        per-batch keys are folded in from it, so metrics depend only on the
+        key the driver threads (e.g. fold_in(PRNGKey(seed), epoch)), not on
+        how many validate calls preceded this one.
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
         metric_sums: Dict[str, Any] = {}
         n_batches = 0
         last_Gx = last_Fy = last_x = last_y = None
         it = tqdm(loader, desc="Validation") if progress else loader
         for batch in it:
             device_batch = self._put(batch)
-            self._eval_counter += 1
-            rng = jax.random.PRNGKey(self._eval_counter)
-            metrics = self.eval_step(state, device_batch, rng)
+            metrics = self.eval_step(
+                state, device_batch, jax.random.fold_in(rng, n_batches)
+            )
             metrics = dict(metrics)
             last_Gx = metrics.pop("Gx")
             last_Fy = metrics.pop("Fy", None)
