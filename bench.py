@@ -41,7 +41,7 @@ def main() -> None:
         latent_dim=64,
         base_width=64,
         dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
-        use_pallas=os.environ.get("BENCH_NO_PALLAS") != "1",
+        use_pallas=False if os.environ.get("BENCH_NO_PALLAS") == "1" else None,
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
     # the BASELINE config #5: unpaired summer2winter-style full dual cycle

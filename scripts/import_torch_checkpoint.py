@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     parser.add_argument("--dataset", default="hypersim")
     parser.add_argument("--source_modality", default="depth")
     parser.add_argument("--target_modality", default="normal")
+    parser.add_argument("--fresh_optimizer", action="store_true",
+                        default=False,
+                        help="skip importing the checkpoint's Adam moments "
+                             "(by default they are imported so resumed "
+                             "training keeps its momentum)")
     args = parser.parse_args(argv)
 
     import jax
@@ -43,7 +48,10 @@ def main(argv=None) -> int:
     from vae_cyclegan_tpu.config import ModelConfig
     from vae_cyclegan_tpu.models.tasks import create_task
     from vae_cyclegan_tpu.utils import save_checkpoint
-    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+    from vae_cyclegan_tpu.utils.torch_import import (
+        load_adam_moments_into_state,
+        load_into_state,
+    )
 
     ckpt = torch.load(args.pth, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_state_dict", ckpt)
@@ -60,6 +68,28 @@ def main(argv=None) -> int:
     )
     state = task.init_state(jax.random.PRNGKey(0))
     state = load_into_state(state, args.architecture, sd)
+    opt_states = ckpt.get("optimizer_states")
+    # torch Adam populates its state lazily; never-stepped optimizers have
+    # nothing to import
+    if opt_states and not all(v.get("state") for v in opt_states.values()):
+        opt_states = None
+    if opt_states and not args.fresh_optimizer:
+        opt_np = {
+            k: {
+                "param_groups": v["param_groups"],
+                "state": {
+                    i: {kk: (vv.detach().numpy()
+                             if hasattr(vv, "detach") else vv)
+                        for kk, vv in s.items()}
+                    for i, s in v["state"].items()
+                },
+            }
+            for k, v in opt_states.items()
+        }
+        state = load_adam_moments_into_state(
+            state, args.architecture, sd, opt_np
+        )
+        print("imported Adam moments from the reference optimizer states")
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)

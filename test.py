@@ -64,7 +64,7 @@ def load_model_for_inference(run: Dict):
         latent_dim=a.get("latent_dim", 64),
         base_width=a.get("base_width", 64),
         dtype=jnp.bfloat16 if a.get("precision") == "bf16" else jnp.float32,
-        use_pallas=not a.get("no_pallas", False),
+        use_pallas=False if a.get("no_pallas", False) else None,
     )
     task = create_task(
         a["architecture"],
@@ -281,4 +281,10 @@ if __name__ == "__main__":
     parser.add_argument("--output_dir", type=str, default="test_results")
     parser.add_argument("--num_samples", type=int, default=8,
                         help="Test samples per comparison group")
-    evaluate_models(parser.parse_args())
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX backend (e.g. cpu, tpu); wins over "
+                             "environment-injected platform plugins")
+    _args = parser.parse_args()
+    if _args.platform:
+        jax.config.update("jax_platforms", _args.platform)
+    evaluate_models(_args)

@@ -2,6 +2,8 @@
 sharded-batch gradients must equal single-device gradients
 (SURVEY.md §4 test plan item f)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,3 +138,93 @@ def test_uint8_wire_format_equivalence():
     np.testing.assert_allclose(
         np.asarray(e_u8["Gx"]), np.asarray(e_f32["Gx"]), atol=5e-3
     )
+
+
+_MULTIHOST_WORKER = r'''
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]; repo = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(f"localhost:{port}", num_processes=2,
+                           process_id=pid)
+import numpy as np
+sys.path.insert(0, repo)
+from jax.experimental import multihost_utils
+from vae_cyclegan_tpu.data.loader import DataLoader
+from vae_cyclegan_tpu.parallel import make_mesh, shard_batch
+
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+
+class ArrDS:
+    """Content depends on (index, per-position rng) so both the shard
+    slicing AND the global-position augmentation seeding are verified."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get(self, idx, rng):
+        v = np.full((4, 4, 3), float(idx), np.float32) + rng.random()
+        return {"x": v, "y": v + 100.0}
+
+
+ds = ArrDS(16)
+local = DataLoader(ds, batch_size=8, shuffle=True, seed=5, num_workers=1,
+                   shard_index=pid, shard_count=2)
+mesh = make_mesh(8)
+got = []
+for b in local:
+    assert b["x"].shape[0] == 4  # local slice of the global batch of 8
+    g = shard_batch(b, mesh)
+    assert g["x"].shape[0] == 8  # assembled global batch
+    got.append(np.asarray(multihost_utils.process_allgather(g["x"],
+                                                            tiled=True)))
+
+# the assembled global stream must equal a single-host unsharded run
+ref = DataLoader(ds, batch_size=8, shuffle=True, seed=5, num_workers=1)
+ref_batches = [b["x"] for b in ref]
+assert len(got) == len(ref_batches) == 2
+for a, b in zip(got, ref_batches):
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+print(f"MULTIHOST_OK {pid}", flush=True)
+'''
+
+
+def test_multihost_two_process_batch_assembly(tmp_path):
+    """Two real jax.distributed processes: per-host loader shards + the
+    make_array_from_process_local_data path in shard_batch assemble exactly
+    the single-host global batch stream (VERDICT r1 item 7 — makes the
+    --multihost claim evidenced)."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = str(Path(__file__).resolve().parents[1])
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _MULTIHOST_WORKER, str(pid), str(port),
+             repo],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK {pid}" in out

@@ -263,3 +263,384 @@ def test_aegan_full_step_parity(ref):
         v_expected,
         atol=1e-4,
     )
+
+
+# ---------------------------------------------------------------------------
+# shared-noise full-step parity (VERDICT r1 item 3): both frameworks draw the
+# reparameterization eps from one recorded sequence, so the stochastic
+# adversarial families become exactly comparable.
+
+
+class _SharedNoise:
+    """Pre-generated eps tensors popped in call order by both frameworks.
+
+    torch side: torch.randn_like (reference Networks.py:225) is patched to
+    pop NCHW tensors. jax side: jax.random.normal is patched to pop the same
+    tensors (transposed to NHWC) whenever the requested shape is the spatial
+    latent shape; all other draws pass through.
+    """
+
+    def __init__(self, torch, nchw_shape, count, seed):
+        rs = np.random.RandomState(seed)
+        self._torch = torch
+        self.eps = [rs.randn(*nchw_shape).astype(np.float32)
+                    for _ in range(count)]
+        self._latent_nhwc = tuple(np.transpose(self.eps[0], (0, 2, 3, 1)).shape)
+        self.t_used = 0
+        self.j_used = 0
+
+    def __enter__(self):
+        torch = self._torch
+        self._orig_randn_like = torch.randn_like
+        self._orig_normal = jax.random.normal
+
+        def t_randn_like(t, **kw):
+            e = self.eps[self.t_used]
+            self.t_used += 1
+            assert tuple(t.shape) == e.shape, (t.shape, e.shape)
+            return torch.from_numpy(e)
+
+        def j_normal(key, shape=(), dtype=jnp.float32, **kw):
+            if tuple(shape) == self._latent_nhwc:
+                e = self.eps[self.j_used]
+                self.j_used += 1
+                return jnp.asarray(np.transpose(e, (0, 2, 3, 1)), dtype)
+            return self._orig_normal(key, shape, dtype, **kw)
+
+        torch.randn_like = t_randn_like
+        jax.random.normal = j_normal
+        return self
+
+    def __exit__(self, *exc):
+        self._torch.randn_like = self._orig_randn_like
+        jax.random.normal = self._orig_normal
+
+
+def test_vaegan_full_step_shared_noise_parity(ref):
+    """VAEGAN (ref Networks.py:1254-1301): shared forward, retain_graph D
+    loss, 2 spectral iterations/step, 2 eps draws/step (G(x), G(y)).
+    Two full steps with shared noise => every metric matches."""
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig, OptimConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+
+    torch.manual_seed(21)
+    tm = ref.VAEGAN(latent_dim=64)
+    tm.configure_optimizers(lr=2e-4)
+    tm.configure_loss(lambda_gan=1.0, lambda_identity=5.0, lambda_kl=1e-5,
+                      lambda_recon=1.0)
+
+    task = create_task(
+        "vaegan",
+        model=ModelConfig(image_size=256, base_width=64, use_pallas=False),
+        optim=OptimConfig(lr=2e-4),
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state = load_into_state(state, "vaegan", _np_sd(tm))
+
+    rng = np.random.RandomState(23)
+    x = rng.rand(1, 256, 256, 3).astype(np.float32)
+    y = rng.rand(1, 256, 256, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+
+    tols = {
+        "G_loss": 2e-2,  # includes lambda_id*L1 at scale ~25
+        "D_loss": 3e-3,
+        "loss_gan_disc_real": 2e-3,
+        "loss_gan_disc_fake": 2e-3,
+        "loss_trans": 2e-3,
+        "loss_gan_real": 3e-3,
+        "loss_gan_fake": 3e-3,
+        "loss_identity": 2e-3,
+        "loss_kl": 5e-2,  # enters G_loss at 1e-5 weight
+    }
+    from vae_cyclegan_tpu.utils.torch_import import (
+        load_adam_moments_into_state,
+    )
+
+    with _SharedNoise(torch, (1, 64, 16, 16), count=4, seed=31) as noise:
+        for step in range(2):
+            t_metrics = tm.training_step({"x": tx, "y": ty})
+            # fresh jit per step: each trace pops this step's eps constants
+            state, j_metrics = jax.jit(task.train_step)(state, batch)
+            for key, tol in tols.items():
+                # rel covers D-score-derived metrics whose scale is the
+                # squared (unbounded) discriminator output; abs covers
+                # near-zero values
+                assert float(j_metrics[key]) == pytest.approx(
+                    t_metrics[key], abs=tol, rel=5e-4
+                ), f"{key} diverged at step {step}"
+            if step == 0:
+                # Re-sync full state (params + spectral + Adam moments)
+                # from torch: a fresh discriminator's spectral-norm grad is
+                # ill-conditioned (the sigma term scales <g,W>/sigma^2 with
+                # near-random u,v), so post-step params agree only up to
+                # float chaos in ANY framework pair. Re-syncing keeps the
+                # step-1 comparison an exact oracle of step semantics and
+                # exercises the Adam-moment importer.
+                sd1 = _np_sd(tm)
+                state = load_into_state(state, "vaegan", sd1)
+                state = load_adam_moments_into_state(
+                    state, "vaegan", sd1, tm.save_optimizer_states()
+                )
+    assert noise.t_used == noise.j_used == 4
+
+
+def test_cyclevaegan_full_step_shared_noise_parity(ref):
+    """The flagship (ref Networks.py:1973-2073): fake-only GAN term in
+    G_loss, 4-term KL, 8 spectral-update D calls, 6 eps draws per step in
+    the order G(x), G(y), F(Gx), F(y), F(x), G(Fy). Two full paired steps
+    with shared noise => every metric matches."""
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig, OptimConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+
+    torch.manual_seed(22)
+    tm = ref.CycleVAEGAN(latent_dim=64, paired=True)
+    tm.configure_optimizers(lr=2e-4)
+    tm.configure_loss(lambda_gan=1.0, lambda_identity=5.0,
+                      lambda_cycle=10.0, lambda_kl=1e-5)
+
+    task = create_task(
+        "cyclevaegan",
+        model=ModelConfig(image_size=256, base_width=64, use_pallas=False),
+        optim=OptimConfig(lr=2e-4),
+        paired=True,
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state = load_into_state(state, "cyclevaegan", _np_sd(tm))
+
+    rng = np.random.RandomState(29)
+    x = rng.rand(1, 256, 256, 3).astype(np.float32)
+    y = rng.rand(1, 256, 256, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+
+    tols = {
+        "G_loss": 3e-2,  # lambda_cycle*cycle ~ 16 dominates
+        "D_loss": 3e-3,
+        "D_loss_x_real": 2e-3,
+        "D_loss_x_fake": 2e-3,
+        "D_loss_y_real": 2e-3,
+        "D_loss_y_fake": 2e-3,
+        "loss_cycle": 3e-3,
+        "loss_gan_g": 3e-3,          # the fake-only metric, Networks.py:2063
+        "loss_gan_g_x_real": 2e-3,
+        "loss_gan_g_x_fake": 2e-3,
+        "loss_gan_g_y_real": 2e-3,
+        "loss_gan_g_y_fake": 2e-3,
+        "loss_kl": 2e-1,             # 4 KL terms at scale ~1e3, 1e-5 weight
+        "loss_identity": 3e-3,
+        "d_x_real_mean": 3e-3,
+        "d_x_fake_mean": 3e-3,
+        "d_y_real_mean": 3e-3,
+        "d_y_fake_mean": 3e-3,
+    }
+    from vae_cyclegan_tpu.utils.torch_import import (
+        load_adam_moments_into_state,
+    )
+
+    with _SharedNoise(torch, (1, 64, 16, 16), count=12, seed=37) as noise:
+        for step in range(2):
+            t_metrics = tm.training_step({"x": tx, "y": ty})
+            state, j_metrics = jax.jit(task.train_step)(state, batch)
+            for key, tol in tols.items():
+                # rel covers D-score-derived metrics whose scale is the
+                # squared (unbounded) discriminator output; abs covers
+                # near-zero values
+                assert float(j_metrics[key]) == pytest.approx(
+                    t_metrics[key], abs=tol, rel=5e-4
+                ), f"{key} diverged at step {step}"
+            if step == 0:
+                # re-sync (see VAEGAN test: fresh-D spectral grads are
+                # ill-conditioned); step 1 then compares exactly and
+                # exercises the Adam-moment importer on the F+G / DX+DY
+                # joint optimizers (ref Networks.py:1926-1936).
+                sd1 = _np_sd(tm)
+                state = load_into_state(state, "cyclevaegan", sd1)
+                state = load_adam_moments_into_state(
+                    state, "cyclevaegan", sd1, tm.save_optimizer_states()
+                )
+    assert noise.t_used == noise.j_used == 12
+
+
+# ---------------------------------------------------------------------------
+# importer round-trip (VERDICT r1 item 5): a real reference .pth (built by
+# the reference's own utils.save_checkpoint, utils.py:17-28) imported via
+# scripts/import_torch_checkpoint.py must reproduce the torch forward.
+
+
+@pytest.fixture(scope="module")
+def ref_utils(ref):
+    import importlib
+
+    return importlib.import_module("utils")
+
+
+def _import_script():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "import_torch_checkpoint",
+        Path(__file__).resolve().parents[1]
+        / "scripts" / "import_torch_checkpoint.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize(
+    "family,image_size",
+    [
+        ("autoencoder", 64),
+        ("vae", 64),
+        ("doublevae", 64),
+        ("aegan", 256),      # torch Discriminator hardcodes the k16 head
+        ("cycleaegan", 256),
+    ],
+)
+def test_torch_checkpoint_import_roundtrip(ref, ref_utils, tmp_path,
+                                           family, image_size):
+    import argparse
+
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.checkpoint import load_checkpoint
+
+    seeds = {"autoencoder": 51, "vae": 52, "doublevae": 53, "aegan": 54,
+             "cycleaegan": 55}
+    torch.manual_seed(seeds[family])
+    builders = {
+        "autoencoder": ref.Autoencoder,
+        "vae": lambda: ref.VariationalAutoencoder(latent_dim=64),
+        "doublevae": lambda: ref.DoubleVariationalAutoencoder(latent_dim=64),
+        "aegan": ref.AEGAN,
+        "cycleaegan": lambda: ref.CycleAEGAN(paired=True),
+    }
+    tm = builders[family]()
+    tm.configure_optimizers(lr=2e-4)
+    tm.configure_loss()
+
+    # a REAL reference checkpoint, written by the reference's own helper
+    ref_args = argparse.Namespace(
+        architecture=family, dataset="hypersim", paired=True,
+        source_modality="depth", target_modality="normal",
+    )
+    pth = tmp_path / "checkpoint_epoch_3"
+    ref_utils.save_checkpoint(tm, 3, 1.25, ref_args, str(pth))
+
+    out = tmp_path / "imported"
+    rc = _import_script().main([
+        "--pth", str(pth), "--architecture", family,
+        "--out", str(out), "--image_size", str(image_size), "--paired",
+    ])
+    assert rc == 0
+    assert (out / "args.json").exists()
+
+    # reload through the normal checkpoint path and compare Gx forwards
+    task = create_task(
+        family,
+        model=ModelConfig(image_size=image_size, latent_dim=64,
+                          use_pallas=False),
+        paired=True,
+    )
+    state = task.init_state(jax.random.PRNGKey(1))
+    state, epoch, loss, _ = load_checkpoint(state, out / "best_model")
+    assert epoch == 3 and loss == pytest.approx(1.25)
+
+    rng = np.random.RandomState(41)
+    x = rng.rand(1, image_size, image_size, 3).astype(np.float32)
+    y = rng.rand(1, image_size, image_size, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+
+    # zero eps on both sides makes the VAE families deterministic
+    n_eps = {"vae": 1, "doublevae": 2}.get(family, 0)
+    tm.eval()
+    with _SharedNoise(torch, (1, 64, image_size // 16, image_size // 16),
+                      count=max(n_eps * 2, 1), seed=0) as noise:
+        for e in noise.eps:
+            e[:] = 0.0
+        with torch.no_grad():
+            if family in ("autoencoder", "vae"):
+                t_out = tm(tx)
+            else:
+                t_out = tm(tx, ty)
+        t_gx = (t_out[0] if isinstance(t_out, tuple) else t_out).numpy()
+        j_gx = np.asarray(task.generate(
+            state, {"x": jnp.asarray(x), "y": jnp.asarray(y)},
+            jax.random.PRNGKey(5),
+        ))
+    np.testing.assert_allclose(
+        np.transpose(j_gx, (0, 3, 1, 2)), t_gx, atol=5e-3, rtol=1e-2
+    )
+
+
+def test_import_adam_moments_via_script(ref, ref_utils, tmp_path):
+    """A stepped reference checkpoint's Adam moments survive the import
+    script: count and exp_avg land in the optax state (leaf checked against
+    torch's own optimizer state, independent of the importer's mapping)."""
+    import argparse
+
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.checkpoint import load_checkpoint
+
+    torch.manual_seed(60)
+    tm = ref.VariationalAutoencoder(latent_dim=64)
+    tm.configure_optimizers(lr=2e-4)
+    tm.configure_loss()
+    tm.training_step({"x": torch.rand(1, 3, 64, 64),
+                      "y": torch.rand(1, 3, 64, 64)})
+
+    pth = tmp_path / "checkpoint_epoch_1"
+    ref_utils.save_checkpoint(tm, 1, 0.5, argparse.Namespace(), str(pth))
+    out = tmp_path / "imported"
+    rc = _import_script().main([
+        "--pth", str(pth), "--architecture", "vae",
+        "--out", str(out), "--image_size", "64",
+    ])
+    assert rc == 0
+
+    task = create_task(
+        "vae", model=ModelConfig(image_size=64, latent_dim=64,
+                                 use_pallas=False),
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state, _, _, _ = load_checkpoint(state, out / "best_model")
+    adam = state.opt_state["model"][0]
+    assert int(adam.count) == 1
+
+    # leaf check via torch's own (id -> named_parameters order) mapping
+    opt_sd = tm.save_optimizer_states()["optimizer"]
+    names = [n for n, _ in tm.named_parameters()]
+    idx = names.index("variational_encoder_block.muConv.conv.weight")
+    slot = opt_sd["param_groups"][0]["params"][idx]
+    t_exp_avg = opt_sd["state"][slot]["exp_avg"].detach().numpy()
+    j_exp_avg = np.asarray(
+        adam.mu["variational_encoder_block"]["LConv_0"]["ReflectConv_0"]
+        ["Conv_0"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        np.transpose(j_exp_avg, (3, 2, 0, 1)), t_exp_avg, atol=1e-7
+    )
+    t_sq = opt_sd["state"][slot]["exp_avg_sq"].detach().numpy()
+    j_sq = np.asarray(
+        adam.nu["variational_encoder_block"]["LConv_0"]["ReflectConv_0"]
+        ["Conv_0"]["kernel"]
+    )
+    np.testing.assert_allclose(
+        np.transpose(j_sq, (3, 2, 0, 1)), t_sq, atol=1e-9
+    )

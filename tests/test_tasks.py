@@ -148,3 +148,35 @@ def test_gan_spectral_state_advances(batch):
     state2, _ = jax.jit(task.train_step)(state, batch)
     u1 = np.asarray(jax.tree_util.tree_leaves(state2.spectral["D"])[1])
     assert not np.allclose(u0, u1)
+
+
+def test_nan_dump_written_on_poisoned_batch(batch, tmp_path):
+    """With nan-dump enabled, a non-finite loss writes a diagnostic .npz
+    (loss/batch/params/grads) to <run_dir>/nan_dumps — the TPU equivalent of
+    the reference's console dump (Networks.py:356-372)."""
+    from vae_cyclegan_tpu.utils import nan_dump
+
+    task = create_task("autoencoder", model=MC)
+    state = task.init_state(jax.random.PRNGKey(0))
+    bad = {"x": batch["x"] * jnp.nan, "y": batch["y"]}
+    nan_dump.enable(tmp_path, max_dumps=2)
+    try:
+        # fresh jit so the dump callback is traced in
+        state2, metrics = jax.jit(task.train_step)(state, bad)
+        jax.block_until_ready(state2.params)
+        assert float(metrics["nan_detected"]) == 1.0
+        dumps = sorted((tmp_path / "nan_dumps").glob("nan_dump_*.npz"))
+        assert len(dumps) == 1
+        payload = np.load(dumps[0])
+        assert not np.isfinite(payload["loss"])
+        batch_keys = [k for k in payload.files if k.startswith("batch")]
+        grad_keys = [k for k in payload.files if k.startswith("grads")]
+        param_keys = [k for k in payload.files if k.startswith("params")]
+        assert batch_keys and grad_keys and param_keys
+        # healthy step writes nothing new
+        _, m2 = jax.jit(task.train_step)(state, batch)
+        jax.block_until_ready(m2["G_loss"])
+        assert float(m2["nan_detected"]) == 0.0
+        assert len(sorted((tmp_path / "nan_dumps").glob("*.npz"))) == 1
+    finally:
+        nan_dump.disable()

@@ -147,7 +147,7 @@ def build_task(args):
         latent_dim=args.latent_dim,
         base_width=args.base_width,
         dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
-        use_pallas=not args.no_pallas,
+        use_pallas=False if args.no_pallas else None,
         remat=args.remat,
     )
     oc = OptimConfig(lr=args.lr)
@@ -208,6 +208,11 @@ def main(args):
               "(inherently unpaired)")
         args.paired = False
 
+    if args.platform:
+        # explicit backend selection that survives site customizations
+        # which pre-register a TPU plugin and clobber JAX_PLATFORMS
+        jax.config.update("jax_platforms", args.platform)
+
     if getattr(args, "multihost", False):
         # DCN bootstrap for multi-host pods (SURVEY.md §2.2); on a single
         # host this is a no-op beyond process-coordination setup.
@@ -257,6 +262,21 @@ def main(args):
         train_loader, test_loader = create_dataloaders_hypersim(args)
         print(f"Using Hypersim dataset in "
               f"{'paired' if args.paired else 'unpaired'} mode")
+
+    # NaN observability: on a non-finite loss the step skips the update AND
+    # dumps loss/batch/params/grads to the run dir (reference prints all
+    # params+grads to console, Networks.py:356-372). Enable before the step
+    # is traced. Some PJRT plugins (e.g. tunneled TPU backends) reject host
+    # callbacks entirely — probe first so enabling never breaks training.
+    from vae_cyclegan_tpu.utils import nan_dump
+
+    if not args.no_nan_dump:
+        if nan_dump.backend_supports_callbacks():
+            nan_dump.enable(output_dir)
+        else:
+            print("warning: JAX backend lacks host-callback support; "
+                  "NaN diagnostic dumps disabled (the NaN guard still "
+                  "skips bad updates and reports nan_detected)")
 
     # Task + mesh + engine
     task = build_task(args)
@@ -439,6 +459,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of epoch 0 into "
                              "this dir (view with TensorBoard's profile tab)")
+    parser.add_argument("--no_nan_dump", action="store_true",
+                        help="Disable writing loss/batch/params/grads dumps "
+                             "to <run_dir>/nan_dumps on non-finite losses")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="Force a JAX backend (e.g. cpu, tpu); wins over "
+                             "environment-injected platform plugins")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Enable jax_debug_nans (fail fast at the op "
                              "that produced a NaN; slows training)")

@@ -10,7 +10,7 @@ and retraces only when config changes.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -29,8 +29,10 @@ class ModelConfig:
       base_width: channels of the first encoder conv (64 in the reference).
       dtype: compute dtype for conv stacks. Normalization statistics and all
         loss reductions are always computed in float32.
-      use_pallas: use the fused Pallas InstanceNorm+activation kernels when
-        running on TPU (falls back to pure-XLA lowering elsewhere).
+      use_pallas: fused Pallas InstanceNorm+activation kernels. None (the
+        default) = auto: engage on the TPU backend when the slab fits VMEM,
+        pure-XLA lowering elsewhere. True forces the Pallas path (TPU only),
+        False disables it.
       remat: rematerialize encoder/decoder activations (jax.checkpoint) to
         trade FLOPs for HBM — needed for the 6-generator-forward CycleVAEGAN
         step at 256^2 and large batch.
@@ -40,7 +42,7 @@ class ModelConfig:
     latent_dim: int = 64
     base_width: int = 64
     dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = True
+    use_pallas: Optional[bool] = None
     remat: bool = False
 
     @property

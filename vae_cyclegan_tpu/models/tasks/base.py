@@ -65,14 +65,21 @@ class Task:
         grads: Any,
         params: Any,
         opt_state: Any,
+        batch: Any = None,
     ) -> Tuple[Any, Any, jnp.ndarray]:
         """Apply the optimizer update only when the loss is finite.
 
         Mirrors the reference's NaN/Inf guard that skips the optimizer step
         and flags the batch (Networks.py:356-372), generalized to every
-        architecture as a jit-safe lax.cond.
+        architecture as a jit-safe lax.cond. When nan-dump is enabled
+        (utils.nan_dump.enable, wired by the driver), the skip branch also
+        writes the offending loss/batch/params/grads to the run dir — the
+        TPU equivalent of the reference's console dump of every parameter
+        and gradient.
         Returns (params, opt_state, nan_detected_flag).
         """
+        from vae_cyclegan_tpu.utils import nan_dump
+
         finite = jnp.isfinite(loss)
 
         def _apply(_):
@@ -80,6 +87,10 @@ class Task:
             return optax.apply_updates(params, updates), new_opt
 
         def _skip(_):
+            if nan_dump.enabled():  # trace-time gate: zero cost when off
+                jax.debug.callback(
+                    nan_dump.write_dump, loss, batch, params, grads
+                )
             return params, opt_state
 
         new_params, new_opt_state = jax.lax.cond(finite, _apply, _skip, None)

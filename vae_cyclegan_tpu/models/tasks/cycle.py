@@ -82,7 +82,7 @@ class CycleAETask(Task):
             loss_fn, has_aux=True
         )(state.params)
         new_params, new_opt, nan_flag = self._finite_update(
-            self.tx, total, grads, state.params, state.opt_state["model"]
+            self.tx, total, grads, state.params, state.opt_state["model"], batch=batch
         )
         metrics = {
             "total_loss": total,
@@ -202,7 +202,7 @@ class CycleVAETask(Task):
             loss_fn, has_aux=True
         )(state.params)
         new_params, new_opt, nan_flag = self._finite_update(
-            self.tx, total, grads, state.params, state.opt_state["model"]
+            self.tx, total, grads, state.params, state.opt_state["model"], batch=batch
         )
         metrics = {
             "total_loss": total,

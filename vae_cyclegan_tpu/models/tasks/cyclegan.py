@@ -167,7 +167,7 @@ class _CycleGANBase(Task):
         )
         Gx, Fy, spX2, spY2, loss_cycle, gan_parts, loss_kl, loss_identity = aux
         new_gen, new_opt_g, nan_g = self._finite_update(
-            self.tx_g, g_loss, grads_g, gen_group, state.opt_state["G"]
+            self.tx_g, g_loss, grads_g, gen_group, state.opt_state["G"], batch=batch
         )
 
         Gx_sg = jax.lax.stop_gradient(Gx)
@@ -201,7 +201,7 @@ class _CycleGANBase(Task):
         (spX4, spY4, d_x_real, d_x_fake, d_y_real, d_y_fake,
          d_x_real_mean, d_x_fake_mean, d_y_real_mean, d_y_fake_mean) = aux_d
         new_disc, new_opt_d, nan_d = self._finite_update(
-            self.tx_d, d_loss, grads_d, disc_group, state.opt_state["D"]
+            self.tx_d, d_loss, grads_d, disc_group, state.opt_state["D"], batch=batch
         )
 
         (gan_g_x, gan_g_x_real, gan_g_x_fake,

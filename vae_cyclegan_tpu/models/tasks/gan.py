@@ -109,7 +109,7 @@ class AEGANTask(Task):
             jax.value_and_grad(g_loss_fn, has_aux=True)(state.params["G"])
         )
         new_pg, new_opt_g, nan_g = self._finite_update(
-            self.tx_g, g_loss, grads_g, state.params["G"], state.opt_state["G"]
+            self.tx_g, g_loss, grads_g, state.params["G"], state.opt_state["G"], batch=batch
         )
 
         Gx_sg = jax.lax.stop_gradient(Gx)
@@ -124,7 +124,7 @@ class AEGANTask(Task):
             jax.value_and_grad(d_loss_fn, has_aux=True)(pD)
         )
         new_pd, new_opt_d, nan_d = self._finite_update(
-            self.tx_d, d_loss, grads_d, pD, state.opt_state["D"]
+            self.tx_d, d_loss, grads_d, pD, state.opt_state["D"], batch=batch
         )
 
         metrics = {
@@ -259,7 +259,7 @@ class VAEGANTask(Task):
             jax.value_and_grad(g_loss_fn, has_aux=True)(state.params["G"])
         )
         new_pg, new_opt_g, nan_g = self._finite_update(
-            self.tx_g, g_loss, grads_g, state.params["G"], state.opt_state["G"]
+            self.tx_g, g_loss, grads_g, state.params["G"], state.opt_state["G"], batch=batch
         )
 
         Gx_sg = jax.lax.stop_gradient(Gx)
@@ -276,7 +276,7 @@ class VAEGANTask(Task):
             d_loss_fn, has_aux=True
         )(pD)
         new_pd, new_opt_d, nan_d = self._finite_update(
-            self.tx_d, d_loss, grads_d, pD, state.opt_state["D"]
+            self.tx_d, d_loss, grads_d, pD, state.opt_state["D"], batch=batch
         )
 
         metrics = {

@@ -58,7 +58,7 @@ class AutoencoderTask(Task):
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params["model"])
         new_p, new_opt, nan_flag = self._finite_update(
-            self.tx, loss, grads, state.params["model"], state.opt_state["model"]
+            self.tx, loss, grads, state.params["model"], state.opt_state["model"], batch=batch
         )
         metrics = {
             "G_loss": loss,
@@ -135,7 +135,7 @@ class VAETask(Task):
             loss_fn, has_aux=True
         )(state.params["model"])
         new_p, new_opt, nan_flag = self._finite_update(
-            self.tx, g_loss, grads, state.params["model"], state.opt_state["model"]
+            self.tx, g_loss, grads, state.params["model"], state.opt_state["model"], batch=batch
         )
         metrics = {
             "G_loss": g_loss,
@@ -212,7 +212,7 @@ class DoubleAETask(Task):
             loss_fn, has_aux=True
         )(state.params["model"])
         new_p, new_opt, nan_flag = self._finite_update(
-            self.tx, total, grads, state.params["model"], state.opt_state["model"]
+            self.tx, total, grads, state.params["model"], state.opt_state["model"], batch=batch
         )
         metrics = {
             "G_loss": total,
@@ -306,7 +306,7 @@ class DoubleVAETask(Task):
             loss_fn, has_aux=True
         )(state.params["model"])
         new_p, new_opt, nan_flag = self._finite_update(
-            self.tx, total, grads, state.params["model"], state.opt_state["model"]
+            self.tx, total, grads, state.params["model"], state.opt_state["model"], batch=batch
         )
         metrics = {
             "G_loss": total,

@@ -227,3 +227,142 @@ def load_into_state(state: Any, architecture: str, sd: Dict[str, np.ndarray]):
         state.spectral, spectral,
     ) if state.spectral else {}
     return state.replace(params=params, spectral=spectral)
+
+
+# ---------------------------------------------------------------------------
+# optimizer-state import: torch Adam moments -> optax ScaleByAdamState trees
+#
+# The reference checkpoints carry per-model Adam states via
+# save_optimizer_states (e.g. Networks.py:1938-1947); importing them lets a
+# reference run resume here with momentum intact instead of fresh moments.
+
+# torch optimizer construction order per architecture (reference
+# configure_optimizers): prefixes are concatenated in constructor-argument
+# order; "" = self.parameters() (module registration order).
+_OPTIMIZER_PREFIXES = {
+    "autoencoder": {"optimizer": ("",)},
+    "vae": {"optimizer": ("",)},
+    "doubleae": {"optimizer": ("",)},
+    "doublevae": {"optimizer": ("",)},
+    "cycleae": {"optimizer": ("",)},
+    "cyclevae": {"optimizer": ("",)},
+    "aegan": {"optimizer_G": ("G.",), "optimizer_D": ("D.",)},
+    "vaegan": {"optimizer_G": ("G.",), "optimizer_D": ("D.",)},
+    # Networks.py:1667-1677 / 1926-1936: Adam(list(F)+list(G)), Adam(DX+DY)
+    "cycleaegan": {"optimizer_G": ("F.", "G."), "optimizer_D": ("DX.", "DY.")},
+    "cyclevaegan": {"optimizer_G": ("F.", "G."), "optimizer_D": ("DX.", "DY.")},
+}
+
+# our TrainState.opt_state key per torch optimizer key
+_OPT_KEY_MAP = {"optimizer": "model", "optimizer_G": "G", "optimizer_D": "D"}
+
+_SPECTRAL_BUFFERS = ("weight_u", "weight_v")
+
+
+def _param_names(sd: Dict[str, np.ndarray], prefix: str) -> list:
+    """Parameter names under `prefix` in state_dict order. torch emits a
+    module's parameters before its buffers and recurses children in
+    registration order, so dropping the spectral (u, v) buffers leaves
+    exactly named_parameters() order — the order Adam indexes by."""
+    return [
+        k for k in sd
+        if k.startswith(prefix) and not k.endswith(_SPECTRAL_BUFFERS)
+    ]
+
+
+def import_adam_moments(
+    architecture: str,
+    sd: Dict[str, np.ndarray],
+    opt_states: Dict[str, dict],
+) -> Dict[str, Tuple[Dict, Dict, int]]:
+    """Map reference save_optimizer_states() output onto param-tree-shaped
+    moment trees.
+
+    Returns {our_opt_key: (mu_tree, nu_tree, count)} where mu/nu trees have
+    the same structure as the corresponding import_reference_state_dict
+    param subtrees ('model' / 'G' / 'D'; the 'G'/'D' entries of cycle-GAN
+    archs hold {'F','G'} / {'DX','DY'} pairs).
+    """
+    prefixes = _OPTIMIZER_PREFIXES.get(architecture)
+    if prefixes is None:
+        raise ValueError(f"Unknown architecture: {architecture}")
+
+    # per-moment state_dict clones with moment tensors in place of weights
+    out: Dict[str, Tuple[Dict, Dict, int]] = {}
+    moment_sds = {"exp_avg": {}, "exp_avg_sq": {}}
+    counts: Dict[str, int] = {}
+    for torch_key, prefix_seq in prefixes.items():
+        osd = opt_states[torch_key]
+        ids = list(osd["param_groups"][0]["params"])
+        names = [n for p in prefix_seq for n in _param_names(sd, p)]
+        if architecture == "autoencoder" and len(ids) != len(names):
+            names = _param_names(sd, "decoder.")  # decoder_only optimizer
+        if len(ids) != len(names):
+            raise ValueError(
+                f"{torch_key}: {len(ids)} optimizer slots vs "
+                f"{len(names)} parameters"
+            )
+        count = 0
+        for i, name in zip(ids, names):
+            st = osd["state"][i]
+            moment_sds["exp_avg"][name] = np.asarray(st["exp_avg"])
+            moment_sds["exp_avg_sq"][name] = np.asarray(st["exp_avg_sq"])
+            count = int(st.get("step", 0))
+        counts[torch_key] = count
+
+    trees = {}
+    for which, msd in moment_sds.items():
+        # dummy spectral buffers so the shared param mapper can run
+        for k in sd:
+            if k.endswith(_SPECTRAL_BUFFERS):
+                msd[k] = np.asarray(sd[k])
+        trees[which], _ = import_reference_state_dict(architecture, msd)
+
+    for torch_key in prefixes:
+        our_key = _OPT_KEY_MAP[torch_key]
+        mu_tree = dict(trees["exp_avg"])
+        nu_tree = dict(trees["exp_avg_sq"])
+        if our_key == "model":
+            mu, nu = mu_tree["model"], nu_tree["model"]
+            if architecture in ("cycleae", "cyclevae"):
+                mu = {"G": mu_tree["G"], "F": mu_tree["F"]}
+                nu = {"G": nu_tree["G"], "F": nu_tree["F"]}
+        elif our_key == "G" and architecture in ("cycleaegan", "cyclevaegan"):
+            mu = {"G": mu_tree["G"], "F": mu_tree["F"]}
+            nu = {"G": nu_tree["G"], "F": nu_tree["F"]}
+        elif our_key == "D" and architecture in ("cycleaegan", "cyclevaegan"):
+            mu = {"DX": mu_tree["DX"], "DY": mu_tree["DY"]}
+            nu = {"DX": nu_tree["DX"], "DY": nu_tree["DY"]}
+        else:
+            mu, nu = mu_tree[our_key], nu_tree[our_key]
+        out[our_key] = (mu, nu, counts[torch_key])
+    return out
+
+
+def load_adam_moments_into_state(
+    state: Any,
+    architecture: str,
+    sd: Dict[str, np.ndarray],
+    opt_states: Dict[str, dict],
+):
+    """Replace the Adam first/second moments and step counts in a
+    TrainState's optax opt_state with moments imported from the reference's
+    save_optimizer_states() dict."""
+    import jax
+    import jax.numpy as jnp
+
+    moments = import_adam_moments(architecture, sd, opt_states)
+    new_opt_state = {}
+    for key, entry in state.opt_state.items():
+        if key not in moments:
+            raise KeyError(f"no imported moments for opt_state[{key!r}]")
+        mu, nu, count = moments[key]
+        adam = entry[0]  # optax.adam = chain(scale_by_adam, scale)
+        cast = lambda t, n: np.array(n, dtype=t.dtype, copy=True)  # noqa: E731
+        new_adam = adam._replace(
+            count=jnp.asarray(count, adam.count.dtype),
+            mu=jax.tree_util.tree_map(cast, adam.mu, mu),
+            nu=jax.tree_util.tree_map(cast, adam.nu, nu),
+        )
+        new_opt_state[key] = (new_adam,) + tuple(entry[1:])
+    return state.replace(opt_state=new_opt_state)
