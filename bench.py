@@ -81,7 +81,84 @@ def main() -> None:
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / REFERENCE_CPU_IMAGES_PER_SEC, 1),
     }
+    if os.environ.get("BENCH_E2E", "1") != "0":
+        try:
+            result["e2e_loader_images_per_sec"] = round(
+                _bench_e2e(task, batch, image_size), 3
+            )
+        except Exception as e:  # noqa: BLE001 — e2e is auxiliary
+            result["e2e_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
+
+
+def _bench_e2e(task, batch: int, image_size: int) -> float:
+    """End-to-end rate with the REAL data path: decoded-image cache ->
+    prefetching loader (raw wire format) -> on-device augmentation inside
+    the jitted step. Uses a synthetic Hypersim-format tree of full-res
+    frames so the loader does exactly the production work minus PNG decode
+    (removed by the cache, as in production via `tools cache`)."""
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+
+    from vae_cyclegan_tpu.data import (
+        AugmentConfig,
+        DataLoader,
+        DecodedImageCache,
+        HypersimDataset,
+    )
+    from vae_cyclegan_tpu.data import datasets as _ds_mod
+    from vae_cyclegan_tpu.engine import Engine
+
+    steps = int(os.environ.get("BENCH_E2E_STEPS", "12"))
+    with tempfile.TemporaryDirectory() as td:
+        xx, yy = np.meshgrid(np.linspace(0, 1, 1024), np.linspace(0, 1, 768))
+        base = np.stack([xx, yy, 0.5 * (xx + yy)], -1)
+        n_frames = max(2, -(-batch * 2 // 2))  # ensure len(ds) >= batch
+        for cam in ("cam_00", "cam_01"):
+            root = Path(td) / "hypersim" / "ai_001_001_indoor" / cam
+            root.mkdir(parents=True)
+            for frame in range(-(-n_frames // 2)):
+                img = np.roll(base, 37 * frame + (cam == "cam_01"), axis=1)
+                arr = (img * 255).astype(np.uint8)
+                for mod in ("depth", "normal"):
+                    Image.fromarray(arr).save(
+                        root / f"frame_{frame:04d}_{mod}.png"
+                    )
+        cache = DecodedImageCache(
+            DecodedImageCache.build(Path(td) / "hypersim",
+                                    Path(td) / "img.cache")
+        ).attach()
+        try:
+            ds = HypersimDataset(
+                str(Path(td) / "hypersim"), ["depth", "normal"],
+                augment=AugmentConfig(out_size=image_size,
+                                      hflip_p=0.5, vflip_p=0.3),
+                paired_mode=False, raw_mode=True,
+            )
+            loader = DataLoader(ds, batch, shuffle=True, num_workers=4,
+                                drop_last=True, prefetch=3)
+            engine = Engine(task, donate=False)
+            state = engine.init_state(seed=0)
+            # warm the compile with one batch
+            first = next(iter(loader))
+            state, m = engine.train_step(state, engine._put(first))
+            float(m["G_loss"])
+            n = 0
+            t0 = time.perf_counter()
+            while n < steps:
+                for b in loader:
+                    state, m = engine.train_step(state, engine._put(b))
+                    n += 1
+                    if n >= steps:
+                        break
+            float(m["G_loss"])
+            return batch * steps / (time.perf_counter() - t0)
+        finally:
+            _ds_mod.set_decode_cache(None)
+            loader.close()
 
 
 if __name__ == "__main__":

@@ -220,3 +220,101 @@ def test_loader_early_abandon_no_deadlock(dataset_root):
     for _ in range(5):
         next(iter(loader))
     assert len(list(loader)) == 6
+
+
+def test_decoded_image_cache(dataset_root, tmp_path):
+    """Cache hits bypass decode and return identical pixels; datasets work
+    unchanged with the cache attached."""
+    from vae_cyclegan_tpu.data import DecodedImageCache, HypersimDataset
+    from vae_cyclegan_tpu.data import datasets as ds_mod
+
+    root = dataset_root / "hypersim"
+    blob = DecodedImageCache.build(root, tmp_path / "img.cache")
+    cache = DecodedImageCache(blob)
+    assert len(cache) > 0
+
+    ds = HypersimDataset(str(root), ["depth", "normal"], paired_mode=True)
+    plain = ds.get(0, random.Random(5))
+    cache.attach()
+    try:
+        cached = ds.get(0, random.Random(5))
+        np.testing.assert_array_equal(plain["x"], cached["x"])
+        np.testing.assert_array_equal(plain["y"], cached["y"])
+        # every dataset file is a cache hit
+        p = ds.samples[0]["modality_paths"]["depth"]
+        assert p in cache and cache.get(p).ndim == 3
+    finally:
+        ds_mod.set_decode_cache(None)
+
+
+def test_raw_mode_wire_format(dataset_root):
+    """raw_mode emits full uint8 frames + (6,) aug vectors with the same
+    synchronization semantics as the host path."""
+    from vae_cyclegan_tpu.data import AugmentConfig, HypersimDataset
+
+    ds = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "normal"],
+        augment=AugmentConfig(out_size=16), paired_mode=True, raw_mode=True,
+    )
+    item = ds.get(0, random.Random(0))
+    assert set(item) == {"x_raw", "x_aug", "y_raw", "y_aug"}
+    assert item["x_raw"].dtype == np.uint8 and item["x_raw"].ndim == 3
+    assert item["x_aug"].shape == (6,)
+    # paired: x and y share the SAME spatial params
+    np.testing.assert_array_equal(item["x_aug"], item["y_aug"])
+
+    dsu = HypersimDataset(
+        str(dataset_root / "hypersim"), ["depth", "normal"],
+        augment=AugmentConfig(out_size=16), paired_mode=False, raw_mode=True,
+    )
+    it2 = dsu.get(0, random.Random(0))
+    assert not np.array_equal(it2["x_aug"], it2["y_aug"])
+
+    with pytest.raises(ValueError, match="color jitter"):
+        HypersimDataset(
+            str(dataset_root / "hypersim"), ["depth", "color"],
+            color_jitter=ColorJitterConfig(), raw_mode=True,
+        )
+
+
+def test_device_aug_matches_host_path(tmp_path):
+    """The on-device augmentation of a raw batch reproduces the host path's
+    pixels (same rng stream) up to interpolator differences — compared on
+    smooth frames where PIL-bicubic vs jax-cubic differences stay small."""
+    import jax.numpy as jnp
+
+    from vae_cyclegan_tpu.data import AugmentConfig, HypersimDataset
+    from vae_cyclegan_tpu.data.device_aug import augment_batch
+
+    d = tmp_path / "hypersim" / "ai_001_001_indoor" / "cam_00"
+    d.mkdir(parents=True)
+    xx, yy = np.meshgrid(np.linspace(0, 1, 56), np.linspace(0, 1, 40))
+    smooth = np.stack([xx, yy, 0.5 * (xx + yy)], -1)
+    for frame in range(2):
+        for mod in ("depth", "normal"):
+            arr = np.roll(smooth, frame * 7, axis=1)
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                d / f"frame_{frame:04d}_{mod}.png"
+            )
+
+    cfg = AugmentConfig(out_size=16, hflip_p=0.5, vflip_p=0.3)
+    common = dict(augment=cfg, paired_mode=True)
+    host_ds = HypersimDataset(
+        str(tmp_path / "hypersim"), ["depth", "normal"], **common
+    )
+    raw_ds = HypersimDataset(
+        str(tmp_path / "hypersim"), ["depth", "normal"],
+        raw_mode=True, **common
+    )
+    for seed in range(4):
+        want = host_ds.get(1, random.Random(seed))
+        raw = raw_ds.get(1, random.Random(seed))
+        got = augment_batch(
+            {k: jnp.asarray(v)[None] for k, v in raw.items()}, 16
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["x"][0]), want["x"], atol=0.08
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["y"][0]), want["y"], atol=0.08
+        )

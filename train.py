@@ -67,13 +67,22 @@ def create_dataloaders_hypersim(args):
     VFlip .3 / RandomResizedCrop scale (0.33,1) bicubic; ColorJitter
     (.3,.3,.3,.15) for the color modality; images stay in [0,1]."""
     aug = AugmentConfig(out_size=args.image_size, hflip_p=0.5, vflip_p=0.3)
+    device_aug = getattr(args, "device_aug", False)
+    uses_color = "color" in (args.source_modality, args.target_modality)
+    if device_aug and uses_color:
+        raise ValueError(
+            "--device_aug does not support the host-side color jitter the "
+            "'color' modality requires; drop --device_aug"
+        )
     dataset = HypersimDataset(
         root_dir=str(Path(args.data_dir) / "hypersim"),
         modalities=[args.source_modality, args.target_modality],
         augment=aug,
-        color_jitter=ColorJitterConfig(0.3, 0.3, 0.3, 0.15),
+        color_jitter=(None if device_aug
+                      else ColorJitterConfig(0.3, 0.3, 0.3, 0.15)),
         paired_mode=args.paired,
         uint8_output=True,
+        raw_mode=device_aug,
     )
     if args.test_split > 0:
         train_ds, test_ds = split_dataset(dataset, args.test_split, seed=42)
@@ -251,6 +260,16 @@ def main(args):
     writer = TBWriter(tensorboard_dir)
     print(f"TensorBoard logs: {tensorboard_dir}")
 
+    if args.decode_cache:
+        from vae_cyclegan_tpu.data import DecodedImageCache
+
+        cache = DecodedImageCache(args.decode_cache).attach()
+        print(f"decode cache attached: {len(cache)} images")
+
+    if args.device_aug and args.dataset != "hypersim":
+        raise ValueError("--device_aug currently supports only --dataset "
+                         "hypersim (raw frame sizes must be uniform)")
+
     # Dataloaders (reference train.py:429-437)
     if args.dataset == "maps":
         train_loader, test_loader = create_dataloaders_maps(args)
@@ -377,9 +396,14 @@ def main(args):
             for k, v in test_comps.items():
                 writer.add_scalar(f"Loss_Components_test/{k}", v, epoch)
 
-            # Images: first 4, clamped to [0,1] (reference train.py:552-563)
-            writer.add_images(f"{args.source_modality}/test_x", test_x[:4], epoch)
-            writer.add_images(f"{args.target_modality}/test_y", test_y[:4], epoch)
+            # Images: first 4, clamped to [0,1] (reference train.py:552-563).
+            # Raw (device-aug) batches carry no host-side x/y images.
+            if test_x is not None:
+                writer.add_images(f"{args.source_modality}/test_x",
+                                  test_x[:4], epoch)
+            if test_y is not None:
+                writer.add_images(f"{args.target_modality}/test_y",
+                                  test_y[:4], epoch)
             writer.add_images(f"{args.target_modality}/test_Gx", test_Gx[:4], epoch)
             if test_Fy is not None:
                 writer.add_images(f"{args.source_modality}/test_Fy",
@@ -465,6 +489,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX backend (e.g. cpu, tpu); wins over "
                              "environment-injected platform plugins")
+    # Host-pipeline scaling (beyond-reference; data.device_aug / data.cache)
+    parser.add_argument("--device_aug", action="store_true",
+                        help="Ship full uint8 frames and run crop/flip/"
+                             "resize on-device inside the jitted step "
+                             "(hypersim only; host then only decodes)")
+    parser.add_argument("--decode_cache", type=str, default=None,
+                        help="Path to a decoded-image cache built with "
+                             "`python -m vae_cyclegan_tpu.data.tools cache` "
+                             "(skips PNG/JPEG decode entirely)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="Enable jax_debug_nans (fail fast at the op "
                              "that produced a NaN; slows training)")

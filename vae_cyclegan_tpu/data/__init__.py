@@ -10,3 +10,4 @@ from vae_cyclegan_tpu.data.datasets import (
     split_dataset,
 )
 from vae_cyclegan_tpu.data.loader import DataLoader
+from vae_cyclegan_tpu.data.cache import DecodedImageCache

@@ -71,7 +71,20 @@ def split_dataset(dataset: _Dataset, test_split: float, seed: int = 42):
     return Subset(dataset, perm[:n_train]), Subset(dataset, perm[n_train:])
 
 
+# optional decoded-image cache (data.cache.DecodedImageCache.attach())
+_DECODE_CACHE = None
+
+
+def set_decode_cache(cache) -> None:
+    global _DECODE_CACHE
+    _DECODE_CACHE = cache
+
+
 def _load_rgb(path) -> Image.Image:
+    if _DECODE_CACHE is not None:
+        arr = _DECODE_CACHE.get(path)
+        if arr is not None:
+            return Image.fromarray(arr)
     with Image.open(path) as im:
         return im.convert("RGB")
 
@@ -93,13 +106,24 @@ class HypersimDataset(_Dataset):
         color_jitter: Optional[ColorJitterConfig] = None,
         paired_mode: bool = True,
         uint8_output: bool = False,
+        raw_mode: bool = False,
     ):
+        """raw_mode: emit full uint8 frames + augmentation parameter
+        vectors ({x,y}_raw / {x,y}_aug) for ON-DEVICE augmentation
+        (data.device_aug) — the host only decodes. Requires uniform frame
+        sizes and no color jitter (jitter is a host-side PIL op)."""
         self.root_dir = Path(root_dir)
         self.modalities = list(modalities)
         self.augment = augment
         self.color_jitter = color_jitter
         self.paired_mode = paired_mode
         self.uint8_output = uint8_output
+        self.raw_mode = raw_mode
+        if raw_mode and color_jitter is not None:
+            raise ValueError(
+                "raw_mode (on-device augmentation) does not support host "
+                "color jitter; drop color_jitter or raw_mode"
+            )
         if self.paired_mode and len(self.modalities) not in (1, 2):
             raise ValueError(
                 f"paired_mode requires 1 or 2 modalities, got {len(self.modalities)}"
@@ -164,7 +188,40 @@ class HypersimDataset(_Dataset):
             img = apply_spatial_pil(img, self.augment, spatial_params)
         return finalize(img, self.uint8_output)
 
+    def _raw_frame(self, idx: int, modality: str) -> Array:
+        path = self.samples[idx]["modality_paths"][modality]
+        if _DECODE_CACHE is not None:  # raw mode: skip the PIL round-trip
+            arr = _DECODE_CACHE.get(path)
+            if arr is not None:
+                return arr
+        return np.asarray(_load_rgb(path), np.uint8)
+
+    def _get_raw(self, idx: int, rng: random.Random) -> Dict[str, Array]:
+        """Raw wire format for on-device augmentation: full uint8 frames +
+        (6,) aug vectors, same synchronization semantics as the host path
+        (paired: shared vector; unpaired: independent draw + random y)."""
+        from vae_cyclegan_tpu.data.device_aug import sample_aug_vector
+
+        cfg = self.augment or AugmentConfig(random_crop=False)
+        x = self._raw_frame(idx, self.modalities[0])
+        h, w = x.shape[:2]
+        shared = sample_aug_vector(rng, cfg, w, h)
+        if self.paired_mode:
+            y = (
+                x
+                if len(self.modalities) == 1
+                else self._raw_frame(idx, self.modalities[1])
+            )
+            return {"x_raw": x, "x_aug": shared,
+                    "y_raw": y, "y_aug": shared.copy()}
+        y_idx = rng.randint(0, len(self.samples) - 1)
+        y = self._raw_frame(y_idx, self.modalities[1])
+        y_aug = sample_aug_vector(rng, cfg, y.shape[1], y.shape[0])
+        return {"x_raw": x, "x_aug": shared, "y_raw": y, "y_aug": y_aug}
+
     def get(self, idx: int, rng: random.Random) -> Dict[str, Array]:
+        if self.raw_mode:
+            return self._get_raw(idx, rng)
         shared = (
             sample_spatial_params(rng, self.augment)
             if self.augment is not None

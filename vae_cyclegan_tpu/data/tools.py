@@ -426,6 +426,17 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_cache(args) -> int:
+    from vae_cyclegan_tpu.data.cache import DecodedImageCache
+
+    blob = DecodedImageCache.build(args.root, args.out)
+    cache = DecodedImageCache(blob)
+    size = blob.stat().st_size
+    print(f"cached {len(cache)} decoded images "
+          f"({size / 1e6:.1f} MB) -> {blob}")
+    return 0
+
+
 def cmd_show(args) -> int:
     frames = scan_tree(args.dataset)
     ref = pick_frame(
@@ -471,6 +482,16 @@ def main(argv=None) -> int:
                     help="scene-zip base URL or a local directory of "
                          "{scene}.zip files")
     sp.set_defaults(fn=cmd_sample)
+
+    sc = sub.add_parser(
+        "cache",
+        help="decode every image under --root into a memory-mapped cache "
+             "(datasets then skip PNG/JPEG decode entirely)",
+    )
+    sc.add_argument("--root", required=True)
+    sc.add_argument("--out", required=True,
+                    help="cache blob path (a .json index is written beside)")
+    sc.set_defaults(fn=cmd_cache)
 
     sh = sub.add_parser("show", help="render one downloaded frame's modalities")
     sh.add_argument("--dataset", default="dataset/hypersim")

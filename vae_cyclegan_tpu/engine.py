@@ -52,19 +52,28 @@ class Engine:
     """Owns the jitted step functions, mesh placement, and epoch loops."""
 
     def __init__(self, task: Task, mesh=None, donate: bool = True):
+        from vae_cyclegan_tpu.data.device_aug import augment_batch
+
         self.task = task
         self.mesh = mesh if mesh is not None else make_mesh()
-        # Batches may arrive as uint8 (4x cheaper host->device transfer);
-        # normalization to [0,1] f32 happens here, inside the jitted step.
+        # Batches may arrive as uint8 (4x cheaper host->device transfer) or
+        # as raw full frames + aug vectors (on-device augmentation,
+        # data.device_aug); both resolve to normalized f32 {'x','y'} here,
+        # inside the jitted step.
+        out_size = task.mc.image_size
+
+        def _prep(b):
+            return _normalize_batch(augment_batch(b, out_size))
+
         self.train_step = jax.jit(
-            lambda s, b: task.train_step(s, _normalize_batch(b)),
+            lambda s, b: task.train_step(s, _prep(b)),
             donate_argnums=(0,) if donate else (),
         )
         self.eval_step = jax.jit(
-            lambda s, b, r: task.eval_step(s, _normalize_batch(b), r)
+            lambda s, b, r: task.eval_step(s, _prep(b), r)
         )
         self.generate = jax.jit(
-            lambda s, b, r: task.generate(s, _normalize_batch(b), r)
+            lambda s, b, r: task.generate(s, _prep(b), r)
         )
 
     def init_state(self, seed: int = 0) -> TrainState:
@@ -95,7 +104,7 @@ class Engine:
             device_batch = self._put(batch)
             state, metrics = self.train_step(state, device_batch)
             n_batches += 1
-            n_images += batch["x"].shape[0]
+            n_images += next(iter(batch.values())).shape[0]
             for k, v in metrics.items():
                 metric_sums[k] = v if k not in metric_sums else metric_sums[k] + v
             last_batch = device_batch
@@ -136,7 +145,9 @@ class Engine:
             metrics = dict(metrics)
             last_Gx = metrics.pop("Gx")
             last_Fy = metrics.pop("Fy", None)
-            last_x, last_y = device_batch["x"], device_batch["y"]
+            # raw (on-device-aug) batches have no host-side x/y images
+            last_x = device_batch.get("x")
+            last_y = device_batch.get("y")
             n_batches += 1
             for k, v in metrics.items():
                 metric_sums[k] = v if k not in metric_sums else metric_sums[k] + v
