@@ -60,9 +60,11 @@ def bench_grad(fn, x, w, r1=16, r2=64, trials=7):
     dtype = x.dtype
 
     def scanned(reps):
+        blk = jax.checkpoint(fn)
+
         def loss(w_, x_):
             def body(acc, i):
-                y = fn(x_ * (1.0 + i.astype(dtype) * 1e-3), w_)
+                y = blk(x_ * (1.0 + i.astype(dtype) * 1e-3), w_)
                 return acc + jnp.sum(y.astype(jnp.float32) ** 2), None
             acc, _ = jax.lax.scan(
                 body, jnp.zeros((), jnp.float32), jnp.arange(reps))

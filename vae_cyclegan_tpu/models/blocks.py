@@ -91,7 +91,7 @@ class ReflectConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from vae_cyclegan_tpu.ops.reflect_conv import reflect_conv
+        from vae_cyclegan_tpu.ops.starved_conv import starved_reflect_conv
 
         kernel, bias = _ConvParams(
             self.features,
@@ -104,7 +104,9 @@ class ReflectConv(nn.Module):
         xc = x.astype(dtype)
         kc = kernel.astype(dtype)
         if self.stride == 1 and self.padding == self.kernel_size // 2:
-            y = reflect_conv(xc, kc)
+            # dispatches MXU-starved shapes (k7 head/tail, low-channel
+            # upsample convs) to the Pallas kernel suite on TPU
+            y = starved_reflect_conv(xc, kc)
         else:
             xp = reflect_pad(xc, self.padding)
             y = jax.lax.conv_general_dilated(
