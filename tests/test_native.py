@@ -1,0 +1,92 @@
+"""C++ data-plane (data/native): decode parity with PIL, batch decode,
+threaded gather, and graceful fallback."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vae_cyclegan_tpu.data import native
+
+
+needs_native = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable")
+
+
+@pytest.fixture()
+def images(tmp_path):
+    rng = np.random.RandomState(7)
+    img = (rng.rand(40, 56, 3) * 255).astype(np.uint8)
+    png = tmp_path / "a.png"
+    Image.fromarray(img).save(png)
+    jpg = tmp_path / "a.jpg"
+    Image.fromarray(img).save(jpg, quality=92)
+    gray = tmp_path / "g.png"
+    Image.fromarray(img[:, :, 0]).save(gray)
+    rgba = tmp_path / "r.png"
+    Image.fromarray(np.dstack([img, img[:, :, :1]])).save(rgba)
+    return {"png": png, "jpg": jpg, "gray": gray, "rgba": rgba}
+
+
+@needs_native
+def test_png_decode_matches_pil_exactly(images):
+    for key in ("png", "gray", "rgba"):
+        got = native.decode_rgb(images[key])
+        want = np.asarray(Image.open(images[key]).convert("RGB"))
+        assert got is not None
+        np.testing.assert_array_equal(got, want)
+
+
+@needs_native
+def test_jpeg_decode_matches_pil(images):
+    got = native.decode_rgb(images["jpg"])
+    want = np.asarray(Image.open(images["jpg"]).convert("RGB"))
+    assert got is not None
+    # both decode through libjpeg; allow a 1-level IDCT wobble
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+@needs_native
+def test_probe_returns_dims(images):
+    assert native.probe_rgb(images["png"]) == (56, 40)
+
+
+@needs_native
+def test_decode_many_mixed_and_errors(images, tmp_path):
+    paths = [images["png"], images["jpg"], tmp_path / "missing.png"]
+    out = native.decode_many(paths)
+    assert out is not None
+    assert out[0].shape == (40, 56, 3)
+    assert out[1].shape == (40, 56, 3)
+    assert out[2] is None
+
+
+@needs_native
+def test_gather_matches_numpy():
+    blob = np.arange(4096, dtype=np.uint8)
+    src = [0, 1000, 2000, 4000]
+    sizes = [100, 50, 96, 96]
+    out = np.zeros(sum(sizes), np.uint8)
+    assert native.gather(blob, src, sizes, out)
+    want = np.concatenate([blob[o:o + s] for o, s in zip(src, sizes)])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_env_disable(monkeypatch, images):
+    monkeypatch.setenv("VCT_NATIVE", "0")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_lib_tried", False)
+    assert native.decode_rgb(images["png"]) is None
+    assert not native.available()
+
+
+@needs_native
+def test_cache_build_uses_native(tmp_path, images):
+    from vae_cyclegan_tpu.data.cache import DecodedImageCache
+
+    blob = DecodedImageCache.build(images["png"].parent,
+                                   tmp_path / "c.bin")
+    cache = DecodedImageCache(blob)
+    got = cache.get(images["png"])
+    want = np.asarray(Image.open(images["png"]).convert("RGB"))
+    np.testing.assert_array_equal(got, want)

@@ -58,10 +58,16 @@ class DecodedImageCache:
         return self
 
     @staticmethod
-    def build(root, out_path, paths: Optional[Iterable] = None) -> Path:
+    def build(root, out_path, paths: Optional[Iterable] = None,
+              chunk: int = 256) -> Path:
         """Decode every image under `root` (or the explicit `paths`) into
-        `out_path` (+ .json index). Returns the blob path."""
+        `out_path` (+ .json index). Returns the blob path.
+
+        Uses the C++ threaded decoder (data/native) in `chunk`-sized
+        batches when available, falling back to PIL per image."""
         from PIL import Image
+
+        from vae_cyclegan_tpu.data import native
 
         out_path = Path(out_path)
         if paths is None:
@@ -69,19 +75,24 @@ class DecodedImageCache:
                 p for p in Path(root).rglob("*")
                 if p.suffix.lower() in _IMG_EXTS
             )
+        paths = list(paths)
         index: Dict[str, dict] = {}
         offset = 0
         out_path.parent.mkdir(parents=True, exist_ok=True)
         with open(out_path, "wb") as blob:
-            for p in paths:
-                with Image.open(p) as im:
-                    arr = np.asarray(im.convert("RGB"), np.uint8)
-                blob.write(arr.tobytes())
-                index[str(Path(p).absolute())] = {
-                    "offset": offset,
-                    "shape": list(arr.shape),
-                }
-                offset += arr.size
+            for lo in range(0, len(paths), chunk):
+                batch = paths[lo:lo + chunk]
+                arrs = native.decode_many(batch) or [None] * len(batch)
+                for p, arr in zip(batch, arrs):
+                    if arr is None:
+                        with Image.open(p) as im:
+                            arr = np.asarray(im.convert("RGB"), np.uint8)
+                    blob.write(arr.tobytes())
+                    index[str(Path(p).absolute())] = {
+                        "offset": offset,
+                        "shape": list(arr.shape),
+                    }
+                    offset += arr.size
         with open(out_path.with_suffix(".json"), "w") as f:
             json.dump({"version": 1, "index": index}, f)
         return out_path

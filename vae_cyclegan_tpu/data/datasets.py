@@ -85,6 +85,11 @@ def _load_rgb(path) -> Image.Image:
         arr = _DECODE_CACHE.get(path)
         if arr is not None:
             return Image.fromarray(arr)
+    from vae_cyclegan_tpu.data import native
+
+    arr = native.decode_rgb(path)  # C++ libpng/libjpeg path (GIL-free)
+    if arr is not None:
+        return Image.fromarray(arr)
     with Image.open(path) as im:
         return im.convert("RGB")
 
