@@ -132,11 +132,17 @@ def _bench_e2e(task, batch: int, image_size: int) -> float:
                                     Path(td) / "img.cache")
         ).attach()
         try:
+            # wire mode: 'host' crops+resizes on host (C++ fast path) and
+            # ships out_size^2 uint8; 'device' ships full raw frames and
+            # augments on-TPU. Host wins on this tunnel (host->device
+            # bandwidth ~100 MB/s makes full-frame shipping the wall);
+            # device wins on real hosts with PCIe DMA.
+            raw = os.environ.get("BENCH_E2E_MODE", "host") == "device"
             ds = HypersimDataset(
                 str(Path(td) / "hypersim"), ["depth", "normal"],
                 augment=AugmentConfig(out_size=image_size,
                                       hflip_p=0.5, vflip_p=0.3),
-                paired_mode=False, raw_mode=True,
+                paired_mode=False, raw_mode=raw,
             )
             loader = DataLoader(ds, batch, shuffle=True, num_workers=4,
                                 drop_last=True, prefetch=3)

@@ -27,8 +27,10 @@ from vae_cyclegan_tpu.data.transforms import (
     AugmentConfig,
     ColorJitterConfig,
     apply_color_jitter,
+    apply_spatial_np,
     apply_spatial_pil,
     finalize,
+    finalize_np,
     sample_color_params,
     sample_spatial_params,
 )
@@ -184,10 +186,24 @@ class HypersimDataset(_Dataset):
         self, idx: int, modality: str, rng: random.Random, spatial_params
     ) -> Array:
         info = self.samples[idx]
-        img = _load_rgb(info["modality_paths"][modality])
+        path = info["modality_paths"][modality]
+        needs_jitter = modality == "color" and self.color_jitter is not None
+        if not needs_jitter and self.augment is not None:
+            # array fast path: cache slice / C++ decode -> C++ crop+resize,
+            # skipping the PIL round-trip entirely (<=1 LSB vs PIL)
+            arr = _DECODE_CACHE.get(path) if _DECODE_CACHE is not None else None
+            if arr is None:
+                from vae_cyclegan_tpu.data import native
+
+                arr = native.decode_rgb(path)
+            if arr is not None:
+                out = apply_spatial_np(arr, self.augment, spatial_params)
+                if out is not None:
+                    return finalize_np(out, self.uint8_output)
+        img = _load_rgb(path)
         # color-specific jitter BEFORE the spatial transform
         # (Data_Manager.py:176-182)
-        if modality == "color" and self.color_jitter is not None:
+        if needs_jitter:
             img = apply_color_jitter(img, sample_color_params(rng, self.color_jitter))
         if self.augment is not None:
             img = apply_spatial_pil(img, self.augment, spatial_params)

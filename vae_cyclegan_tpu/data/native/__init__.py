@@ -73,6 +73,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.vct_resize_rgb8.restype = None
+        lib.vct_resize_rgb8.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
         _lib = lib
         return _lib
 
@@ -147,6 +151,37 @@ def decode_many(paths: Sequence, nthreads: int = 0
         if c_rcs[j] != 0:
             bufs[i] = None
     return bufs
+
+
+def resize_rgb8(arr: np.ndarray, oh: int, ow: int,
+                crop: Optional[Tuple[int, int, int]] = None,
+                filter: str = "bicubic") -> Optional[np.ndarray]:
+    """Pillow-compatible separable resize of an (H, W, 3) uint8 array,
+    optionally of just the square crop `(top, left, side)` — the crop is
+    fused via the source stride, no intermediate copy. None when the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if arr.dtype != np.uint8 or arr.ndim != 3 or arr.shape[2] != 3:
+        return None
+    if not arr.flags.c_contiguous:
+        arr = np.ascontiguousarray(arr)
+    h, w = arr.shape[:2]
+    if crop is None:
+        top, left, sh, sw = 0, 0, h, w
+    else:
+        top, left, side = crop
+        sh = sw = side
+        if top < 0 or left < 0 or top + side > h or left + side > w:
+            return None
+    out = np.empty((oh, ow, 3), np.uint8)
+    src_ptr = arr.ctypes.data + (top * w + left) * 3
+    lib.vct_resize_rgb8(
+        ctypes.c_void_p(src_ptr), sh, sw, ctypes.c_long(w * 3),
+        ctypes.c_void_p(out.ctypes.data), oh, ow,
+        1 if filter == "bicubic" else 0)
+    return out
 
 
 def gather(blob: np.ndarray, src_offsets: Sequence[int],

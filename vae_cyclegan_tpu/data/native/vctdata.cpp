@@ -217,3 +217,129 @@ void vct_gather(const unsigned char* blob, const long* src_off,
 }
 
 }  // extern "C"
+
+// ---- Resize (Pillow-compatible separable resampling) --------------------
+//
+// Mirrors Pillow's Resample.c: per-output-pixel weight windows with
+// support scaled by max(in/out, 1), normalized, applied horizontally
+// then vertically with an 8-bit intermediate (as Pillow does), float
+// accumulation and round-half-away rounding. filter: 0 = bilinear
+// (triangle, support 1), 1 = bicubic (Keys a=-0.5, support 2).
+
+namespace {
+
+double filt_bilinear(double x) {
+  x = x < 0 ? -x : x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+double filt_bicubic(double x) {
+  constexpr double a = -0.5;
+  x = x < 0 ? -x : x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+struct Weights {
+  std::vector<float> w;     // bounds-normalized weights, kmax per pixel
+  std::vector<int> lo;      // first source index per output pixel
+  std::vector<int> cnt;     // window length per output pixel
+  int kmax = 0;
+};
+
+Weights make_weights(int in_size, int out_size, int filter) {
+  double support = filter == 1 ? 2.0 : 1.0;
+  double (*fn)(double) = filter == 1 ? filt_bicubic : filt_bilinear;
+  double scale = static_cast<double>(in_size) / out_size;
+  double fscale = scale < 1.0 ? 1.0 : scale;
+  double supp = support * fscale;
+  Weights ws;
+  ws.kmax = static_cast<int>(supp * 2.0 + 2.0);
+  ws.w.assign(static_cast<size_t>(out_size) * ws.kmax, 0.0f);
+  ws.lo.assign(out_size, 0);
+  ws.cnt.assign(out_size, 0);
+  for (int i = 0; i < out_size; ++i) {
+    double center = (i + 0.5) * scale;
+    int xmin = static_cast<int>(center - supp + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + supp + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    ws.lo[i] = xmin;
+    ws.cnt[i] = xmax - xmin;
+    double sum = 0.0;
+    std::vector<double> tmp(xmax - xmin);
+    for (int j = xmin; j < xmax; ++j) {
+      double v = fn((j - center + 0.5) / fscale);
+      tmp[j - xmin] = v;
+      sum += v;
+    }
+    for (int j = 0; j < xmax - xmin; ++j) {
+      ws.w[static_cast<size_t>(i) * ws.kmax + j] =
+          sum != 0.0 ? static_cast<float>(tmp[j] / sum) : 0.0f;
+    }
+  }
+  return ws;
+}
+
+inline unsigned char clip8(float v) {
+  int iv = static_cast<int>(v + 0.5f);
+  if (iv < 0) return 0;
+  if (iv > 255) return 255;
+  return static_cast<unsigned char>(iv);
+}
+
+}  // namespace
+
+extern "C" {
+
+// src points at the crop origin inside a larger image whose row pitch is
+// src_stride bytes; (sh, sw) is the crop size. dst is (oh, ow, 3) packed.
+void vct_resize_rgb8(const unsigned char* src, int sh, int sw,
+                     long src_stride, unsigned char* dst, int oh, int ow,
+                     int filter) {
+  Weights wx = make_weights(sw, ow, filter);
+  Weights wy = make_weights(sh, oh, filter);
+  // horizontal pass: (sh, sw) -> (sh, ow), 8-bit intermediate (as PIL)
+  std::vector<unsigned char> mid(static_cast<size_t>(sh) * ow * 3);
+  for (int r = 0; r < sh; ++r) {
+    const unsigned char* row = src + static_cast<size_t>(r) * src_stride;
+    unsigned char* orow = mid.data() + static_cast<size_t>(r) * ow * 3;
+    for (int i = 0; i < ow; ++i) {
+      const float* w = &wx.w[static_cast<size_t>(i) * wx.kmax];
+      const unsigned char* px = row + 3L * wx.lo[i];
+      int n = wx.cnt[i];
+      float acc0 = 0, acc1 = 0, acc2 = 0;
+      for (int j = 0; j < n; ++j) {
+        float c = w[j];
+        acc0 += c * px[3 * j];
+        acc1 += c * px[3 * j + 1];
+        acc2 += c * px[3 * j + 2];
+      }
+      orow[3 * i] = clip8(acc0);
+      orow[3 * i + 1] = clip8(acc1);
+      orow[3 * i + 2] = clip8(acc2);
+    }
+  }
+  // vertical pass: (sh, ow) -> (oh, ow); accumulate whole rows so the
+  // inner loops vectorize (axpy over contiguous ow*3 floats)
+  std::vector<float> acc(static_cast<size_t>(ow) * 3);
+  for (int r = 0; r < oh; ++r) {
+    const float* w = &wy.w[static_cast<size_t>(r) * wy.kmax];
+    int lo = wy.lo[r];
+    int n = wy.cnt[r];
+    float* a = acc.data();
+    const int len = ow * 3;
+    for (int i = 0; i < len; ++i) a[i] = 0.0f;
+    for (int j = 0; j < n; ++j) {
+      const float c = w[j];
+      const unsigned char* srow =
+          mid.data() + static_cast<size_t>(lo + j) * len;
+      for (int i = 0; i < len; ++i) a[i] += c * srow[i];
+    }
+    unsigned char* orow = dst + static_cast<size_t>(r) * len;
+    for (int i = 0; i < len; ++i) orow[i] = clip8(a[i]);
+  }
+}
+
+}  // extern "C"

@@ -128,6 +128,54 @@ def apply_spatial(
     return _to_float(apply_spatial_pil(img, cfg, params))
 
 
+def apply_spatial_np(
+    arr: np.ndarray, cfg: AugmentConfig, params: Optional[SpatialParams]
+) -> Optional[np.ndarray]:
+    """Native (C++) equivalent of apply_spatial_pil on a (H, W, 3) uint8
+    array — crop fused into the resize via the source stride, flips
+    applied to the small output (the resample grid is symmetric, so
+    cropping the mirrored box and flipping the result is exact). Pixel
+    values match the PIL path within 1 LSB (float vs fixed-point
+    accumulation). Returns None when the native library is unavailable,
+    so callers fall back to PIL."""
+    from vae_cyclegan_tpu.data import native
+
+    s = cfg.out_size
+    h, w = arr.shape[:2]
+    if params is None or not cfg.random_crop:
+        out = native.resize_rgb8(arr, s, s)
+        if out is None:
+            return None
+        if params is not None:
+            if params.hflip:
+                out = out[:, ::-1]
+            if params.vflip:
+                out = out[::-1]
+        return np.ascontiguousarray(out)
+    side = int(round(math.sqrt(params.area_frac * w * h)))
+    side = max(1, min(side, w, h))
+    top = int(params.top_frac * (h - side + 1))
+    left = int(params.left_frac * (w - side + 1))
+    if params.hflip:
+        left = w - side - left
+    if params.vflip:
+        top = h - side - top
+    out = native.resize_rgb8(arr, s, s, crop=(top, left, side))
+    if out is None:
+        return None
+    if params.hflip:
+        out = out[:, ::-1]
+    if params.vflip:
+        out = out[::-1]
+    return np.ascontiguousarray(out)
+
+
+def finalize_np(arr: np.ndarray, uint8_output: bool) -> np.ndarray:
+    if uint8_output:
+        return arr
+    return arr.astype(np.float32) / 255.0
+
+
 def finalize(img: Image.Image, uint8_output: bool) -> np.ndarray:
     """PIL -> array. uint8 keeps the wire format 4x smaller (host->device
     transfer); normalization to [0,1] then happens on-device inside the
