@@ -148,18 +148,28 @@ def _bench_e2e(task, batch: int, image_size: int) -> float:
                                 drop_last=True, prefetch=3)
             engine = Engine(task, donate=False)
             state = engine.init_state(seed=0)
-            # warm the compile with one batch
-            first = next(iter(loader))
-            state, m = engine.train_step(state, engine._put(first))
+            # warm the compile and the loader's prefetch pipeline
+            warm_it = iter(loader)
+            for _ in range(3):
+                first = next(warm_it)
+                state, m = engine.train_step(state, engine._put(first))
             float(m["G_loss"])
+            del warm_it
             n = 0
             t0 = time.perf_counter()
+            pending = None
             while n < steps:
                 for b in loader:
-                    state, m = engine.train_step(state, engine._put(b))
-                    n += 1
+                    # one-batch-ahead device prefetch (as Engine.train_epoch)
+                    nxt = engine._put(b)
+                    if pending is not None:
+                        state, m = engine.train_step(state, pending)
+                        n += 1
+                    pending = nxt
                     if n >= steps:
                         break
+            if n < steps and pending is not None:
+                state, m = engine.train_step(state, pending)
             float(m["G_loss"])
             return batch * steps / (time.perf_counter() - t0)
         finally:

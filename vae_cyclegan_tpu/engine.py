@@ -100,14 +100,23 @@ class Engine:
         it = tqdm(loader, desc="Training") if progress else loader
         t0 = time.perf_counter()
         n_images = 0
-        for batch in it:
-            device_batch = self._put(batch)
+        # one-batch-ahead device prefetch: issue the (async) host->device
+        # transfer of batch i+1 before dispatching step i, so the copy
+        # overlaps compute (on tunneled devices the transfer is ~100 ms
+        # per batch and otherwise serializes with the step)
+        _it = iter(it)
+        batch = next(_it, None)
+        device_batch = self._put(batch) if batch is not None else None
+        while batch is not None:
+            nxt = next(_it, None)
+            next_device = self._put(nxt) if nxt is not None else None
             state, metrics = self.train_step(state, device_batch)
             n_batches += 1
             n_images += next(iter(batch.values())).shape[0]
             for k, v in metrics.items():
                 metric_sums[k] = v if k not in metric_sums else metric_sums[k] + v
             last_batch = device_batch
+            batch, device_batch = nxt, next_device
         elapsed = time.perf_counter() - t0
         if n_batches == 0:
             return state, float("nan"), {}, None
