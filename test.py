@@ -26,6 +26,7 @@ from vae_cyclegan_tpu.data import (
 )
 from vae_cyclegan_tpu.models.tasks import create_task
 from vae_cyclegan_tpu.utils import checkpoint_exists, load_checkpoint
+from vae_cyclegan_tpu.utils import metrics
 
 def discover_runs(runs_dir: str) -> List[Dict]:
     """Scan runs/*/ for args.json + best_model (reference test.py:31-70)."""
@@ -229,8 +230,14 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
             "models": sorted(models),
             "num_samples": 0,
             "l1_to_target": {},
+            # beyond reference parity: the reference compares models only
+            # visually; we also report PSNR/SSIM against the target
+            "psnr_to_target": {},
+            "ssim_to_target": {},
         }
         l1_sums = {n: 0.0 for n in models}
+        psnr_sums = {n: 0.0 for n in models}
+        ssim_sums = {n: 0.0 for n in models}
         grids: Dict[str, List[Dict[str, np.ndarray]]] = {n: [] for n in models}
 
         for i, batch in enumerate(loader):
@@ -241,6 +248,9 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
                 gx = run_inference(task, state, batch, seed=i)[0]
                 outputs[name] = gx
                 l1_sums[name] += float(np.mean(np.abs(gx - y)))
+                gxc = np.clip(gx, 0.0, 1.0)
+                psnr_sums[name] += metrics.psnr(gxc, y)
+                ssim_sums[name] += metrics.ssim(gxc, y)
                 grids[name].append({"x": x, "Gx": gx, "y": y})
             save_comparison_figure(
                 i, x, y, outputs, out_dir / f"comparison_sample_{i:03d}.png"
@@ -249,9 +259,10 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
 
         for name in models:
             if summary["num_samples"]:
-                summary["l1_to_target"][name] = (
-                    l1_sums[name] / summary["num_samples"]
-                )
+                n_s = summary["num_samples"]
+                summary["l1_to_target"][name] = l1_sums[name] / n_s
+                summary["psnr_to_target"][name] = psnr_sums[name] / n_s
+                summary["ssim_to_target"][name] = ssim_sums[name] / n_s
             save_model_grid(name, grids[name], out_dir / f"grid_{name}.png")
 
         with open(out_dir / "summary.json", "w") as f:

@@ -157,3 +157,18 @@ def test_eval_driver_legacy_ab_batch_keys():
     # modern batches pass through untouched
     modern = {"x": a, "y": b}
     assert mod.normalize_batch_keys(modern) is modern
+
+
+def test_metrics_ssim_psnr_properties():
+    import numpy as np
+
+    from vae_cyclegan_tpu.utils.metrics import psnr, ssim
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(48, 48, 3)
+    assert abs(ssim(a, a) - 1.0) < 1e-9
+    assert psnr(a, a) == float("inf")
+    slightly = np.clip(a + rng.randn(48, 48, 3) * 0.02, 0, 1)
+    very = np.clip(a + rng.randn(48, 48, 3) * 0.3, 0, 1)
+    assert ssim(a, slightly) > ssim(a, very) > 0
+    assert psnr(a, slightly) > psnr(a, very) > 0
