@@ -148,13 +148,16 @@ def _bench_e2e(task, batch: int, image_size: int) -> float:
                                 drop_last=True, prefetch=3)
             engine = Engine(task, donate=False)
             state = engine.init_state(seed=0)
-            # warm the compile and the loader's prefetch pipeline
-            warm_it = iter(loader)
-            for _ in range(3):
-                first = next(warm_it)
-                state, m = engine.train_step(state, engine._put(first))
+            # warm the compile and the loader's prefetch pipeline (the
+            # tiny synthetic epoch may hold fewer than 3 batches)
+            warmed = 0
+            while warmed < 3:
+                for first in loader:
+                    state, m = engine.train_step(state, engine._put(first))
+                    warmed += 1
+                    if warmed >= 3:
+                        break
             float(m["G_loss"])
-            del warm_it
             n = 0
             t0 = time.perf_counter()
             pending = None
