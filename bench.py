@@ -88,7 +88,123 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001 — e2e is auxiliary
             result["e2e_error"] = f"{type(e).__name__}: {e}"
+    if os.environ.get("BENCH_LOADER_ONLY", "1") != "0":
+        # Host capability measured with NO device in the loop (VERDICT r2
+        # item 4): separates decode/augment throughput from the
+        # host->device link, which on tunneled backends is the wall.
+        try:
+            result["loader_only_images_per_sec"] = {
+                str(w): round(r, 1)
+                for w, r in _bench_loader_only(batch, image_size).items()
+            }
+        except Exception as e:  # noqa: BLE001
+            result["loader_only_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result["h2d_bandwidth_mb_s"] = round(_bench_h2d(), 1)
+        except Exception as e:  # noqa: BLE001
+            result["h2d_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
+
+
+def _synthetic_hypersim_tree(td, batch: int) -> None:
+    """Full-res synthetic Hypersim frame tree (shared by the e2e and
+    loader-only benches)."""
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+
+    xx, yy = np.meshgrid(np.linspace(0, 1, 1024), np.linspace(0, 1, 768))
+    base = np.stack([xx, yy, 0.5 * (xx + yy)], -1)
+    n_frames = max(2, -(-batch * 2 // 2))  # ensure len(ds) >= batch
+    for cam in ("cam_00", "cam_01"):
+        root = Path(td) / "hypersim" / "ai_001_001_indoor" / cam
+        root.mkdir(parents=True)
+        for frame in range(-(-n_frames // 2)):
+            img = np.roll(base, 37 * frame + (cam == "cam_01"), axis=1)
+            arr = (img * 255).astype(np.uint8)
+            for mod in ("depth", "normal"):
+                Image.fromarray(arr).save(root / f"frame_{frame:04d}_{mod}.png")
+
+
+def _bench_loader_only(batch: int, image_size: int) -> dict:
+    """Pure host pipeline rate (cache -> loader -> host crop/resize/uint8
+    wire), device untouched: {num_workers: images/sec}. This is the number
+    that must reach ~8x the per-chip step rate to feed a v5e-8 slice from
+    one host."""
+    import tempfile
+    from pathlib import Path
+
+    from vae_cyclegan_tpu.data import (
+        AugmentConfig,
+        DataLoader,
+        DecodedImageCache,
+        HypersimDataset,
+    )
+    from vae_cyclegan_tpu.data import datasets as _ds_mod
+
+    steps = int(os.environ.get("BENCH_LOADER_STEPS", "24"))
+    workers = [int(w) for w in
+               os.environ.get("BENCH_LOADER_WORKERS", "1,4").split(",")]
+    rates = {}
+    with tempfile.TemporaryDirectory() as td:
+        _synthetic_hypersim_tree(td, batch)
+        cache = DecodedImageCache(
+            DecodedImageCache.build(Path(td) / "hypersim",
+                                    Path(td) / "img.cache")
+        ).attach()
+        try:
+            for w in workers:
+                ds = HypersimDataset(
+                    str(Path(td) / "hypersim"), ["depth", "normal"],
+                    augment=AugmentConfig(out_size=image_size,
+                                          hflip_p=0.5, vflip_p=0.3),
+                    paired_mode=False,
+                )
+                loader = DataLoader(ds, batch, shuffle=True, num_workers=w,
+                                    drop_last=True, prefetch=3)
+                try:
+                    n = 0
+                    for _ in loader:  # warm worker pool + prefetch depth
+                        n += 1
+                        if n >= 2:
+                            break
+                    n = 0
+                    t0 = time.perf_counter()
+                    while n < steps:
+                        saw = False
+                        for b in loader:
+                            saw = True
+                            n += 1
+                            if n >= steps:
+                                break
+                        if not saw:
+                            raise RuntimeError("loader yielded no batches")
+                    rates[w] = batch * steps / (time.perf_counter() - t0)
+                finally:
+                    loader.close()
+        finally:
+            _ds_mod.set_decode_cache(None)
+    return rates
+
+
+def _bench_h2d() -> float:
+    """Host->device memcpy bandwidth in MB/s (a 64 MB uint8 buffer,
+    best of 3): pins the e2e-vs-synthetic gap on the link with a number."""
+    import numpy as np
+
+    dev = jax.devices()[0]
+    buf = np.random.RandomState(0).randint(
+        0, 255, size=(64 << 20,), dtype=np.uint8)
+    jax.device_put(buf[: 1 << 20], dev).block_until_ready()  # warm path
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        arr = jax.device_put(buf, dev)
+        float(arr[-1])  # force materialization (tunnel-safe completion)
+        dt = time.perf_counter() - t0
+        best = max(best, buf.nbytes / dt / 1e6)
+    return best
 
 
 def _bench_e2e(task, batch: int, image_size: int) -> float:
@@ -99,9 +215,6 @@ def _bench_e2e(task, batch: int, image_size: int) -> float:
     (removed by the cache, as in production via `tools cache`)."""
     import tempfile
     from pathlib import Path
-
-    import numpy as np
-    from PIL import Image
 
     from vae_cyclegan_tpu.data import (
         AugmentConfig,
@@ -114,19 +227,7 @@ def _bench_e2e(task, batch: int, image_size: int) -> float:
 
     steps = int(os.environ.get("BENCH_E2E_STEPS", "12"))
     with tempfile.TemporaryDirectory() as td:
-        xx, yy = np.meshgrid(np.linspace(0, 1, 1024), np.linspace(0, 1, 768))
-        base = np.stack([xx, yy, 0.5 * (xx + yy)], -1)
-        n_frames = max(2, -(-batch * 2 // 2))  # ensure len(ds) >= batch
-        for cam in ("cam_00", "cam_01"):
-            root = Path(td) / "hypersim" / "ai_001_001_indoor" / cam
-            root.mkdir(parents=True)
-            for frame in range(-(-n_frames // 2)):
-                img = np.roll(base, 37 * frame + (cam == "cam_01"), axis=1)
-                arr = (img * 255).astype(np.uint8)
-                for mod in ("depth", "normal"):
-                    Image.fromarray(arr).save(
-                        root / f"frame_{frame:04d}_{mod}.png"
-                    )
+        _synthetic_hypersim_tree(td, batch)
         cache = DecodedImageCache(
             DecodedImageCache.build(Path(td) / "hypersim",
                                     Path(td) / "img.cache")
@@ -152,11 +253,18 @@ def _bench_e2e(task, batch: int, image_size: int) -> float:
             # tiny synthetic epoch may hold fewer than 3 batches)
             warmed = 0
             while warmed < 3:
+                saw_batch = False
                 for first in loader:
+                    saw_batch = True
                     state, m = engine.train_step(state, engine._put(first))
                     warmed += 1
                     if warmed >= 3:
                         break
+                if not saw_batch:
+                    raise RuntimeError(
+                        "e2e loader yielded no batches (epoch smaller than "
+                        "batch size with drop_last=True?)"
+                    )
             float(m["G_loss"])
             n = 0
             t0 = time.perf_counter()
@@ -171,8 +279,6 @@ def _bench_e2e(task, batch: int, image_size: int) -> float:
                     pending = nxt
                     if n >= steps:
                         break
-            if n < steps and pending is not None:
-                state, m = engine.train_step(state, pending)
             float(m["G_loss"])
             return batch * steps / (time.perf_counter() - t0)
         finally:

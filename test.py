@@ -216,18 +216,37 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
         loader = build_test_loader(group[0]["args"], args.data_dir,
                                    batch_size=1, max_samples=args.num_samples)
         models = {}
+        run_by_name = {}
         for run in group:
             try:
                 models[run["name"]] = load_model_for_inference(run)
+                run_by_name[run["name"]] = run
             except Exception as e:  # noqa: BLE001
                 print(f"  skipping {run['name']}: {e}")
         if not models:
             continue
 
+        ref_args = group[0]["args"]
         summary = {
             "dataset": dataset_name,
+            # reference summary fields, field-for-field (test.py:583-599)
+            "modality": mod_key,
             "modality_key": mod_key,
-            "models": sorted(models),
+            "source_modality": ref_args.get("source_modality"),
+            "target_modality": ref_args.get("target_modality"),
+            "num_models": len(models),
+            "unpaired": not ref_args.get("paired", False),
+            # per-model metadata: name/architecture/checkpoint/training_args
+            "models": [
+                {
+                    "name": name,
+                    "architecture": run_by_name[name]["args"].get(
+                        "architecture"),
+                    "checkpoint": str(run_by_name[name]["checkpoint"]),
+                    "training_args": run_by_name[name]["args"],
+                }
+                for name in sorted(models)
+            ],
             "num_samples": 0,
             "l1_to_target": {},
             # beyond reference parity: the reference compares models only

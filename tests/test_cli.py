@@ -94,6 +94,19 @@ def test_train_fresh_resume_and_eval(data_root, tmp_path):
     summary = json.loads((group_dir / "summary.json").read_text())
     assert summary["num_samples"] == 2
     assert len(summary["l1_to_target"]) == 1
+    # reference summary metadata, field-for-field (ref test.py:583-599)
+    for key in ("modality", "source_modality", "target_modality",
+                "num_models", "unpaired"):
+        assert key in summary
+    assert summary["num_models"] == 1
+    (entry,) = summary["models"]
+    assert entry["architecture"] in ("autoencoder", "vae")
+    assert "checkpoint" in entry and "training_args" in entry
+    assert entry["training_args"].get("architecture") == entry["architecture"]
+    # strict-JSON guarantee: no Infinity tokens (PSNR capped at 99 dB)
+    json.loads((group_dir / "summary.json").read_text(),
+               parse_constant=lambda c: (_ for _ in ()).throw(
+                   ValueError(f"non-RFC JSON constant {c}")))
     assert (group_dir / "comparison_sample_000.png").exists()
     assert list(group_dir.glob("grid_*.png"))
 
@@ -167,7 +180,10 @@ def test_metrics_ssim_psnr_properties():
     rng = np.random.RandomState(0)
     a = rng.rand(48, 48, 3)
     assert abs(ssim(a, a) - 1.0) < 1e-9
-    assert psnr(a, a) == float("inf")
+    # exact match caps at a finite ceiling so summary.json stays RFC JSON
+    from vae_cyclegan_tpu.utils.metrics import PSNR_CAP_DB
+
+    assert psnr(a, a) == PSNR_CAP_DB
     slightly = np.clip(a + rng.randn(48, 48, 3) * 0.02, 0, 1)
     very = np.clip(a + rng.randn(48, 48, 3) * 0.3, 0, 1)
     assert ssim(a, slightly) > ssim(a, very) > 0

@@ -47,6 +47,20 @@ def test_jpeg_decode_matches_pil(images):
 
 
 @needs_native
+def test_16bit_png_rejected_for_consistent_fallback(tmp_path):
+    """16-bit PNGs must NOT native-decode: png_set_strip_16 (high byte)
+    and PIL's convert('RGB') on I;16 (clamp to 255) disagree, so the
+    native path returns an error and every 16-bit file takes the one PIL
+    path regardless of whether the native library built (ADVICE r2)."""
+    img16 = (np.random.RandomState(5).rand(16, 20) * 65535).astype(np.uint16)
+    p = tmp_path / "deep.png"
+    Image.fromarray(img16).save(p)
+    assert native.decode_rgb(p) is None
+    out = native.decode_many([p])
+    assert out is not None and out[0] is None
+
+
+@needs_native
 def test_probe_returns_dims(images):
     assert native.probe_rgb(images["png"]) == (56, 40)
 

@@ -28,14 +28,28 @@ def test_mesh_has_8_devices():
 
 
 def test_shard_batch_layouts():
+    import warnings as _warnings
+
+    from vae_cyclegan_tpu.parallel import mesh as mesh_mod
+
     mesh = make_mesh()
     batch = {"x": np.ones((16, 8, 8, 3), np.float32)}
     placed = shard_batch(batch, mesh)
     assert placed["x"].sharding == batch_sharding(mesh)
-    # non-divisible batch falls back to replication
+    # non-divisible batch falls back to replication and warns LOUDLY once
+    # (VERDICT r2 item 5: a silent fallback is an 8x perf cliff)
+    mesh_mod._warned_replicated_batch = False
     odd = {"x": np.ones((5, 8, 8, 3), np.float32)}
-    placed_odd = shard_batch(odd, mesh)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        placed_odd = shard_batch(odd, mesh)
+        again = shard_batch(odd, mesh)
     assert placed_odd["x"].sharding.is_fully_replicated
+    assert again["x"].sharding.is_fully_replicated
+    warned = [w for w in caught if issubclass(w.category, RuntimeWarning)
+              and "REPLICATED" in str(w.message)]
+    assert len(warned) == 1  # once, not per batch
+    assert "data parallelism is forfeited" in str(warned[0].message)
 
 
 @pytest.mark.parametrize("name", ["autoencoder", "vae", "aegan"])

@@ -447,7 +447,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dataset", type=str, default="hypersim",
                         choices=["hypersim", "summer2winter", "maps"])
     # Training (reference train.py:623-628)
-    parser.add_argument("--batch_size", type=int, default=5)
+    parser.add_argument("--batch_size", type=int, default=5,
+                        help="Reference default is 5; on an N-device mesh "
+                             "use a multiple of N or the batch is "
+                             "replicated (no data parallelism) with a "
+                             "RuntimeWarning")
     parser.add_argument("--epochs", type=int, default=100)
     parser.add_argument("--lr", type=float, default=0.0002)
     # Loss weights (reference train.py:631-640)

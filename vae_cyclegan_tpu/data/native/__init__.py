@@ -28,14 +28,22 @@ _lib_tried = False
 
 
 def _build() -> bool:
+    # Compile to a private temp name and os.replace() into place: multiple
+    # loader worker processes can race on first use, and dlopen of a
+    # half-written .so would fail nondeterministically (silent PIL
+    # fallback). rename(2) within a directory is atomic, so every process
+    # either sees no .so (and builds its own) or a complete one.
+    tmp = _DIR / f"_vctdata.tmp.{os.getpid()}.so"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(_SRC), "-o", str(_SO), "-lpng", "-ljpeg", "-lz", "-lpthread",
+        str(_SRC), "-o", str(tmp), "-lpng", "-ljpeg", "-lz", "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _SO)
         return True
     except Exception:
+        tmp.unlink(missing_ok=True)
         return False
 
 

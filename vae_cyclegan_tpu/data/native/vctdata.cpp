@@ -90,10 +90,18 @@ int decode_png(FILE* f, unsigned char* out, long cap, int* w, int* h,
     png_destroy_read_struct(&png, &info, nullptr);
     return kErrCapacity;
   }
-  // normalize everything to RGB8 (palette/gray/16-bit/alpha)
+  // normalize everything to RGB8 (palette/gray/alpha). 16-bit PNGs are
+  // REJECTED rather than stripped: png_set_strip_16 keeps the high byte,
+  // while the PIL fallback's Image.convert("RGB") clamps I;16 values to
+  // 255 — two silently different pixel semantics depending on whether the
+  // native build succeeded. Returning kErrFormat routes every 16-bit file
+  // through the single PIL path.
   png_byte color = png_get_color_type(png, info);
   png_byte depth = png_get_bit_depth(png, info);
-  if (depth == 16) png_set_strip_16(png);
+  if (depth == 16) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return kErrFormat;
+  }
   if (color == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);

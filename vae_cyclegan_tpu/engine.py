@@ -100,6 +100,17 @@ class Engine:
         it = tqdm(loader, desc="Training") if progress else loader
         t0 = time.perf_counter()
         n_images = 0
+        # Lagged per-step loss display (reference train.py:107 shows
+        # pbar.set_postfix per step). A direct fetch would be a device sync
+        # per step; instead keep recent G_loss arrays and show the newest
+        # one that has already materialized (is_ready() never blocks),
+        # throttled to ~2 fetches/sec so tunneled backends (~28 ms RPC per
+        # fetch) pay nothing measurable.
+        from collections import deque
+
+        show_loss = progress and hasattr(it, "set_postfix")
+        pending_losses: deque = deque(maxlen=64)
+        next_loss_poll = t0 + 0.5
         # one-batch-ahead device prefetch: issue the (async) host->device
         # transfer of batch i+1 before dispatching step i, so the copy
         # overlaps compute (on tunneled devices the transfer is ~100 ms
@@ -115,6 +126,20 @@ class Engine:
             n_images += next(iter(batch.values())).shape[0]
             for k, v in metrics.items():
                 metric_sums[k] = v if k not in metric_sums else metric_sums[k] + v
+            if show_loss and "G_loss" in metrics:
+                pending_losses.append(metrics["G_loss"])
+                now = time.perf_counter()
+                if now >= next_loss_poll:
+                    next_loss_poll = now + 0.5
+                    ready = None
+                    try:
+                        while pending_losses and pending_losses[0].is_ready():
+                            ready = pending_losses.popleft()
+                        if ready is not None:
+                            it.set_postfix(loss=f"{float(ready):.4f}",
+                                           refresh=False)
+                    except Exception:  # pragma: no cover — display only
+                        show_loss = False
             last_batch = device_batch
             batch, device_batch = nxt, next_device
         elapsed = time.perf_counter() - t0

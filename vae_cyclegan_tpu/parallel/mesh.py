@@ -13,11 +13,14 @@ on pods; the same code paths apply with devices spanning hosts over DCN.
 
 from __future__ import annotations
 
+import warnings
 from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_warned_replicated_batch = False
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
@@ -66,8 +69,11 @@ def shard_batch(
 
     Single host: direct device_put. If the batch size does not divide the
     mesh (the reference default batch is 5), fall back to replication —
-    correctness preserved, parallel speedup forfeited for that step.
+    correctness preserved, parallel speedup forfeited for that step — and
+    warn LOUDLY once: an 8-device mesh fed non-divisible batches silently
+    runs every chip over the full batch, an 8x perf cliff.
     """
+    global _warned_replicated_batch
     n = mesh.devices.size
     multihost = jax.process_count() > 1
     out = {}
@@ -78,5 +84,16 @@ def shard_batch(
         elif v.shape[0] % n == 0:
             out[k] = jax.device_put(v, batch_sharding(mesh, axis_name))
         else:
+            if not _warned_replicated_batch and n > 1:
+                _warned_replicated_batch = True
+                warnings.warn(
+                    f"batch dim {v.shape[0]} of '{k}' does not divide the "
+                    f"{n}-device mesh: the batch is REPLICATED on every "
+                    f"device and all data parallelism is forfeited. Use "
+                    f"--batch_size divisible by {n} (e.g. "
+                    f"{max(n, (v.shape[0] + n - 1) // n * n)}).",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             out[k] = jax.device_put(v, replicated_sharding(mesh))
     return out

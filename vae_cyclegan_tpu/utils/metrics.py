@@ -26,12 +26,17 @@ def _filter2d(img: np.ndarray, k: np.ndarray) -> np.ndarray:
     return out
 
 
+PSNR_CAP_DB = 99.0  # finite ceiling for exact matches: keeps summary.json
+# strictly RFC-compliant (json.dump would emit the non-standard token
+# `Infinity`, which strict parsers reject) and averageable.
+
+
 def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
     mse = float(np.mean((np.asarray(a, np.float64)
                          - np.asarray(b, np.float64)) ** 2))
     if mse == 0:
-        return float("inf")
-    return float(10.0 * np.log10(data_range ** 2 / mse))
+        return PSNR_CAP_DB
+    return float(min(10.0 * np.log10(data_range ** 2 / mse), PSNR_CAP_DB))
 
 
 def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
