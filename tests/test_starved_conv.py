@@ -1,4 +1,4 @@
-"""Correctness of the Pallas starved-conv kernel suite (interpret mode).
+"""Correctness of the fused Pallas starved-conv kernels (interpret mode).
 
 Oracles: the materialized reflect-pad conv (`_naive_reflect_conv`) and
 jax.grad through it — the custom_vjp must match both, including the
@@ -20,30 +20,13 @@ def _interpret_mode():
     sc.set_interpret(False)
 
 
-FLAT_CASES = [
-    (32, 40, 16, 3, True),
-    (32, 40, 16, 3, False),
-    (16, 48, 8, 1, True),
-    (24, 32, 16, 0, False),
-    (32, 250, 16, 2, True),
-]
-
-
-@pytest.mark.parametrize("h,w,c,pad,reflect", FLAT_CASES)
-def test_flatten_matches_xla_oracle(h, w, c, pad, reflect):
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, c), jnp.float32)
-    got = sc.flatten_nhwc(x, pad, reflect)
-    want = sc.flatten_nhwc_xla(x, pad, reflect)
-    assert got.shape == want.shape
-    assert jnp.max(jnp.abs(got - want)) == 0.0
-
-
 CONV_CASES = [
-    (32, 40, 3, 16, 7),   # low-cin (head-like)
-    (32, 40, 16, 3, 7),   # low-cout (tail-like)
+    (32, 40, 3, 16, 7),   # low-cin (head-like, form A)
+    (32, 40, 16, 3, 7),   # low-cout (tail-like, form B)
     (32, 32, 8, 16, 3),   # U4-like
     (32, 32, 16, 8, 3),
     (48, 40, 3, 8, 5),
+    (40, 48, 4, 8, 3),    # non-power-of-two rows (partial chunks)
 ]
 
 
@@ -54,10 +37,11 @@ def test_forward_matches_reference(h, w, cin, cout, k):
     wgt = jax.random.normal(key, (k, k, cin, cout), jnp.float32) * 0.1
     got = sc._starved_conv(x, wgt)
     want = _naive_reflect_conv(x, wgt)
+    assert got.shape == want.shape
     assert float(jnp.max(jnp.abs(got - want))) < 5e-5
 
 
-@pytest.mark.parametrize("h,w,cin,cout,k", CONV_CASES[:3])
+@pytest.mark.parametrize("h,w,cin,cout,k", CONV_CASES[:4])
 def test_gradients_match_reference(h, w, cin, cout, k):
     key = jax.random.PRNGKey(2)
     x = jax.random.normal(key, (2, h, w, cin), jnp.float32)
@@ -74,6 +58,24 @@ def test_gradients_match_reference(h, w, cin, cout, k):
         lambda a, b: loss(sc._starved_conv, a, b), argnums=(0, 1))(x, wgt)
     assert float(jnp.max(jnp.abs(gx_r - gx_n))) < 5e-5
     assert float(jnp.max(jnp.abs(gw_r - gw_n))) < 5e-4
+
+
+def test_full_correlation_zero_mode():
+    """The zero-padded FULL-correlation form the backward uses (out
+    spatial = in + k - 1, partial row chunks) must equal XLA's."""
+    k = 7
+    g = jax.random.normal(jax.random.PRNGKey(5), (2, 32, 40, 8),
+                          jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(6), (k, k, 4, 8),
+                          jnp.float32) * 0.1
+    wrot = w[::-1, ::-1].transpose(0, 1, 3, 2)
+    got = sc._conv_dispatch(g, wrot, pad_mode="zero")
+    gp = jnp.pad(g, ((0, 0), (k - 1, k - 1), (k - 1, k - 1), (0, 0)))
+    want = jax.lax.conv_general_dilated(
+        gp, wrot, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert got.shape == want.shape
+    assert float(jnp.max(jnp.abs(got - want))) < 5e-5
 
 
 def test_dispatcher_falls_back_for_unsupported_shapes():

@@ -1,4 +1,4 @@
-"""Pallas TPU kernels for MXU-starved stride-1 reflect convolutions.
+"""Fused Pallas TPU kernels for MXU-starved stride-1 reflect convolutions.
 
 The generators' slowest layers (reference hot pattern Networks.py:57-149;
 measured in experiments/layer_bench.py + ROADMAP.md) are the big-spatial,
@@ -13,34 +13,38 @@ the slope-corrected timer (experiments/tpu_timer.py):
   * the gradient convs (transposed / weight-grad forms) lower even
     worse (head dx ~8 ms vs ~1 ms of real work).
 
-These kernels fix the layout instead of the arithmetic: activations are
-relaid to a flat "channels-on-sublanes" form (N, C_p, FLAT) where C_p =
-ceil(C/8)*8 sits on sublanes (8-granular padding instead of 128) and the
-padded spatial grid is flattened on lanes with row stride Wp (a lane-tile
-multiple). Padded row j, padded column u of channel c sits at lane
-    BASE + j*Wp + (u - pad),   BASE = 128,
-so raw columns start lane-aligned, and the tap at (dy, dx) is the
-constant lane offset dy*Wp + dx: dy taps come free via overlapping
-row-slab DMAs and dx taps via (cheap, Mosaic-supported) unaligned lane
-slices feeding dense MXU matmuls with f32 accumulation.
+Round-2 lesson (ROADMAP.md round-2 findings): a separate "flatten"
+relayout kernel writes an intermediate flat tensor to HBM and XLA adds
+layout copies at every pallas boundary — isolated per-layer wins did not
+survive composition. This round the relayout is FUSED: each conv site is
+ONE pallas_call from NHWC input to NHWC output.
 
-Kernels:
-  flatten_nhwc   NHWC -> flat, with reflect or zero borders written
-                 in-kernel (replaces both the XLA transpose and the XLA
-                 reflect pad).
-  _lowcin_call   conv with K = (dy, ci) dense on sublanes; one matmul
-                 per dx; output transposed in-kernel and written NHWC.
-                 Right when cin is small (head fwd, tail dx, U4 both).
-  _lowcout_call  col2im form: per-dy matmuls lift cin to the (dx, co)
-                 tap space, then lane-sliced accumulation folds taps
-                 into rows. Right when cout is small (tail fwd, head dx).
-  _dw_call       weight grad via lane-contracting (NT) dots per tap,
-                 accumulated across the sequential grid in VMEM.
+Kernel anatomy (shared by forward, input-grad and weight-grad):
+
+  * input rows arrive through ordinary block specs — a (1, R, W, C) main
+    block plus k-1 single-row specs whose index maps compute the
+    reflected (or clamped) row index from the grid position, so vertical
+    reflect padding costs nothing;
+  * the kernel transposes rows to channels-on-sublanes and assembles a
+    flat slab S[(c), j*Wp + u] in VMEM scratch with row stride
+    Wp = W + 2*pad EXACTLY (block specs have no DMA alignment limits, so
+    none of round 2's 128-lane row padding: at W=256/k=7 that alone is a
+    1.47x matmul-N win); horizontal reflect borders are written during
+    assembly via lane concats;
+  * tap (dy, dx) is then the constant lane offset dy*Wp + dx: a dense
+    (k_dy, ci) patch (form A, low cin) or the raw slab (form B, low
+    cout) feeds M-stacked MXU matmuls (dx resp. (dy,dx) stacked into M
+    until it reaches 128), and the tap fold-down is cheap unaligned lane
+    slices on the f32 accumulator;
+  * the NHWC output block is written directly (transpose + sublane
+    reshape, the round-2-proven pattern).
 
 `starved_reflect_conv(x, w)` wires them into a custom_vjp whose backward
-is exact for reflect padding (full-size gradient conv + border folds,
-validated against jax.grad of the materialized reference). Non-TPU
-backends and unsupported shapes fall back to ops.reflect_conv.
+is exact for reflect padding: dx = reflect-fold(full correlation with the
+rotated kernel) — the same fused kernel in zero-pad mode — and dw is a
+single lane-contracting NT dot per row chunk accumulated across the
+sequential grid. Residuals are the raw (x, w): nothing extra hits HBM.
+Non-TPU backends and unsupported shapes fall back to ops.reflect_conv.
 """
 from __future__ import annotations
 
@@ -52,8 +56,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .reflect_conv import reflect_conv
-
-_RF = 8         # rows per flatten chunk
 
 # When True (tests on CPU), every pallas_call runs in interpreter mode.
 _INTERPRET = False
@@ -72,419 +74,328 @@ def _rup(a: int, m: int) -> int:
     return -(-a // m) * m
 
 
-def _flat_geom(h: int, w: int, c: int, pad: int, wp_override: int = 0):
-    """Geometry of the flat layout for an (., h, w, c) tensor with
-    `pad`-wide borders. rows_flat covers the padded rows plus enough
-    zero slack for consumers that round their output rows up to 16 and
-    over-read one extra row-slab of DMA slack. base = lane offset of
-    each padded row's raw column 0 within its wp-wide span; min(128, .)
-    keeps big-image rows lane-aligned while guaranteeing every row fits
-    its span (border spill into the next flatten window is handled by
-    the window owner's extra preceding row)."""
-    c_p = _rup(max(c, 1), 8)
-    wp = wp_override or max(_rup(w + 2 * pad, 128), 128)
-    base = min(128, wp - w)
-    rows_pad = h + 2 * pad
-    rows_flat = _rup(_rup(rows_pad, 16) + 8, _RF)
-    return c_p, wp, base, rows_pad, rows_flat
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
 
 # ---------------------------------------------------------------------------
-# flatten
+# slab assembly (shared)
 # ---------------------------------------------------------------------------
 
 
-def flatten_nhwc(x: jnp.ndarray, pad: int, reflect: bool,
-                 wp_override: int = 0) -> jnp.ndarray:
-    """(N, H, W, C) -> (N, C_p, rows_flat*Wp) flat layout (see module
-    docstring), borders reflected or zero, unwritten lanes zero.
+def _row_specs(*, n, h, w_in, c, R, chunks, p, k, reflect):
+    """Main (1, R, C, W) block + k-1 single-row specs whose index maps
+    resolve the chunk's border rows (reflected for the forward pass,
+    clamped for the zero-padded gradient pass — invalid rows are zeroed
+    in-kernel).
 
-    Raw manual DMAs require 128-multiple lane extents, which NHWC
-    channel counts are not — so rows arrive via ordinary (Pallas-
-    pipelined) block specs instead: the H borders are pre-extended with
-    a cheap XLA row concat, and each chunk additionally receives the
-    single preceding row so it can write the previous row's right
-    border that spills across its window boundary."""
-    n, h, w, c = x.shape
-    c_p, wp, base, rows_pad, rows_flat = _flat_geom(h, w, c, pad, wp_override)
-    chunks = rows_flat // _RF
-    steps = n * chunks
-    rf = _RF
+    The kernel consumes x in channel-major (N, H, C, W) form: with C
+    minor an NHWC block DMA moves C*itemsize-byte rows (6 bytes for the
+    k7 head!), which measured 3.8x slower than XLA; with W on lanes the
+    DMA moves full 2*W-byte rows and the in-kernel row transpose
+    disappears. The (cheap, small-tensor) NHWC<->NHCW transposes happen
+    in XLA at the call boundary."""
 
-    # XLA side: extend rows to exactly rows_flat padded rows
-    if pad:
-        if reflect:
-            parts = [x[:, pad:0:-1], x, x[:, h - 2:h - 2 - pad:-1]]
+    # Clamp the main block index: the grid may run past the input's last
+    # row block (zero-padded gradient chunks); every main row of such a
+    # chunk is out of range and zero-masked in-kernel, so any in-bounds
+    # block serves as its placeholder.
+    last_block = _cdiv(h, R) - 1
+
+    def main_map(s):
+        return (s // chunks, jnp.minimum(s % chunks, last_block), 0, 0)
+
+    specs = [pl.BlockSpec((1, R, c, w_in), main_map,
+                          memory_space=pltpu.VMEM)]
+
+    def reflect_row(r):
+        r = jnp.abs(r)
+        r = jnp.where(r >= h, 2 * h - 2 - r, r)
+        return jnp.clip(r, 0, h - 1)
+
+    def clamp_row(r):
+        return jnp.clip(r, 0, h - 1)
+
+    fix = reflect_row if reflect else clamp_row
+    for j in range(k - 1):
+        if j < p:
+            off = -p + j            # rows preceding the main block
         else:
-            z = jnp.zeros((n, pad, w, c), x.dtype)
-            parts = [z, x, z]
-    else:
-        parts = [x]
-    tail = rows_flat - rows_pad
-    parts.append(jnp.zeros((n, tail, w, c), x.dtype))
-    xe = jnp.concatenate(parts, axis=1)  # (N, rows_flat, W, C)
+            off = R + (j - p)       # rows following it
 
-    def kern(main_ref, prev_ref, o_ref):
-        t = jnp.transpose(main_ref[0], (0, 2, 1))   # (rf, C, W)
-        tp = prev_ref[0, 0].T                        # (C, W)
-        o_ref[0] = jnp.zeros((c_p, rf * wp), o_ref.dtype)
-        for r in range(rf):
-            main_off = base + r * wp
-            row = t[r]
-            o_ref[0, 0:c, main_off:main_off + w] = row
-            if pad and reflect:
-                for b in range(pad):
-                    left_off = main_off - pad + b
-                    right_off = main_off + w + b
-                    o_ref[0, 0:c, left_off:left_off + 1] = (
-                        row[:, pad - b][:, None])
-                    if right_off < rf * wp:
-                        o_ref[0, 0:c, right_off:right_off + 1] = (
-                            row[:, w - 2 - b][:, None])
-        if pad and reflect and base + w + pad > wp:
-            # previous row's right border spills into this window
-            # (no previous row exists for the first window)
-            @pl.when(pl.program_id(0) % chunks > 0)
-            def _():
-                for b in range(pad):
-                    off = base - wp + w + b
-                    if 0 <= off < rf * wp:
-                        o_ref[0, 0:c, off:off + 1] = (
-                            tp[:, w - 2 - b][:, None])
+        def row_map(s, _off=off):
+            return (s // chunks, fix((s % chunks) * R + _off), 0, 0)
 
-    return _pallas(
-        kern,
-        grid=(steps,),
-        in_specs=[
-            pl.BlockSpec((1, rf, w, c),
-                         lambda s: (s // chunks, s % chunks, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, w, c),
-                         lambda s: (s // chunks,
-                                    jnp.maximum((s % chunks) * rf - 1, 0),
-                                    0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, c_p, rf * wp), lambda s: (s // chunks, 0, s % chunks),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c_p, rows_flat * wp), x.dtype),
-    )(xe, xe)
+        specs.append(pl.BlockSpec((1, 1, c, w_in), row_map,
+                                  memory_space=pltpu.VMEM))
+    return specs
 
 
-def flatten_nhwc_xla(x: jnp.ndarray, pad: int, reflect: bool,
-                     wp_override: int = 0) -> jnp.ndarray:
-    """XLA path for flatten (oracle + cheap for tiny channel counts)."""
-    n, h, w, c = x.shape
-    c_p, wp, base, rows_pad, rows_flat = _flat_geom(h, w, c, pad, wp_override)
-    if pad:
-        mode = "reflect" if reflect else "constant"
-        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode=mode)
-    else:
-        xp = x
-    xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - w - 2 * pad), (0, c_p - c)))
-    xf = xp.transpose(0, 3, 1, 2).reshape(n, c_p, rows_pad * wp)
-    lead = base - pad
-    tail = rows_flat * wp - lead - rows_pad * wp
-    return jnp.pad(xf, ((0, 0), (0, 0), (lead, tail)))
+def _assemble_slab(S, main_ref, row_refs, *, k, p, R, w_in, wp, c,
+                   reflect, h, chunks):
+    """Write R+k-1 padded rows into the flat slab scratch S (c_p
+    sublanes, row stride wp). Horizontal borders are reflected (or
+    zeroed) via lane concats; in zero mode rows outside [0, h) are
+    zeroed (their specs deliver clamped rows)."""
+    nrows = R + k - 1
+    c_p = S.shape[0]
+    r0 = (pl.program_id(0) % chunks) * R
+    if c < c_p:
+        # channel-pad sublanes multiply zero weight columns, but VMEM
+        # scratch is uninitialized and 0 * NaN = NaN — zero them.
+        S[c:c_p, :] = jnp.zeros((c_p - c, S.shape[1]), S.dtype)
+    # zero the lane slack past the last slab row (read by the widest tap
+    # slices; lands only in cropped output columns, but keep it finite)
+    S[0:c, nrows * wp:] = jnp.zeros((c, S.shape[1] - nrows * wp), S.dtype)
+    for j in range(nrows):
+        if j < p:
+            src = row_refs[j][0, 0]                 # (C, W)
+        elif j < p + R:
+            src = main_ref[0, j - p]
+        else:
+            # post specs sit after the p pre specs: ref index j - R
+            src = row_refs[j - R][0, 0]
+        if p and reflect:
+            # Mosaic has no `rev`: build the reflected borders from p
+            # single-column slices (p <= 6)
+            left = jnp.concatenate(
+                [src[:, p - b:p - b + 1] for b in range(p)], axis=1)
+            right = jnp.concatenate(
+                [src[:, w_in - 2 - b:w_in - 1 - b] for b in range(p)],
+                axis=1)
+            row = jnp.concatenate([left, src, right], axis=1)
+        elif p:
+            z = jnp.zeros((c, p), src.dtype)
+            row = jnp.concatenate([z, src, z], axis=1)
+        else:
+            row = src
+        if not reflect:
+            raw = r0 + j - p
+            valid = jnp.logical_and(raw >= 0, raw < h)
+            row = jnp.where(valid, row, jnp.zeros_like(row))
+        S[0:c, j * wp:(j + 1) * wp] = row
 
 
-_FLATTEN_XLA_MAX_C = 8
-
-
-def _flatten(x, pad, reflect, wp_override=0):
-    if x.shape[-1] <= _FLATTEN_XLA_MAX_C or _INTERPRET:
-        return flatten_nhwc_xla(x, pad, reflect, wp_override)
-    return flatten_nhwc(x, pad, reflect, wp_override)
+def _row_ref_order(k, p):
+    """_row_specs appends pre rows (j < p) then post rows; map them back
+    to slab positions. Returns (n_pre, n_post)."""
+    return p, k - 1 - p
 
 
 # ---------------------------------------------------------------------------
-# primA: low-cin conv
+# fused conv kernel (forms A and B)
 # ---------------------------------------------------------------------------
 
 
-def _lowcin_kernel(xf_ref, w_ref, o_ref, patch2, sem,
-                   *, k, R, W, Wp, base, c_p, cout, pad, chunks, steps):
-    step = pl.program_id(0)
-    L = R * Wp
-    # DMA lane starts must be 128-aligned: align down and absorb the
-    # residual into the (cheap) in-kernel lane slices.
-    delta = (base - pad) % 128
+def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, out_w,
+                 reflect, h, chunks, dtype):
+    main_ref = refs[0]
+    row_refs = refs[1:k]
+    w_ref = refs[k]
+    o_ref = refs[k + 1]
+    S = refs[k + 2]
 
-    def lane0(i, dy):
-        return (base - pad - delta) + (i * R + dy) * Wp
+    _assemble_slab(S, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in, wp=wp,
+                   c=c, reflect=reflect, h=h, chunks=chunks)
 
-    def start(slot, s):
-        nn, ii = s // chunks, s % chunks
-        for dy in range(k):
-            pltpu.make_async_copy(
-                xf_ref.at[nn].at[:, pl.ds(lane0(ii, dy), L + 256)],
-                patch2.at[slot, pl.ds(dy * c_p, c_p), :],
-                sem.at[slot, dy],
-            ).start()
-
-    @pl.when(step == 0)
-    def _():
-        start(0, step)
-
-    @pl.when(step + 1 < steps)
-    def _():
-        start((step + 1) % 2, step + 1)
-
-    slot = step % 2
-    nn, ii = step // chunks, step % chunks
+    L = R * wp
+    Lp = L + k - 1
+    # dense (dy, ci) patch staged through scratch (Mosaic cannot concat
+    # vectors with mismatched lane offsets); K = k_dy*c_p, M stacks
+    # (dx, co_p) groups up to 128 so even cout=3 runs a 56-row dot
+    # (co_p-padded) and the tap fold is only k lane-sliced adds.
+    P_ref = refs[k + 3]
     for dy in range(k):
-        pltpu.make_async_copy(
-            xf_ref.at[nn].at[:, pl.ds(lane0(ii, dy), L + 256)],
-            patch2.at[slot, pl.ds(dy * c_p, c_p), :],
-            sem.at[slot, dy],
-        ).wait()
-    p = patch2[slot]
-    acc = jnp.zeros((cout, L), jnp.float32)
-    for dx in range(k):
-        acc = acc + jax.lax.dot_general(
-            w_ref[dx], p[:, delta + dx:delta + dx + L],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    accb = acc.astype(o_ref.dtype)
-    o_ref[0] = accb.T.reshape(R, Wp, cout)[:, :W, :]
-
-
-def _pick_r(out_h, pref):
-    r = min(pref, out_h)
-    while out_h % r:
-        r //= 2
-    return max(r, 1)
-
-
-def _lowcin_call(xf, w_dx, *, k, pad, out_h, out_w, cout, c_p, wp, base,
-                 R=32):
-    n = xf.shape[0]
-    itemsize = jnp.dtype(xf.dtype).itemsize
-    # stay within VMEM: double-buffered patch + f32 accumulator (+its
-    # transpose staging) + pipelined output blocks
-    while R > 8 and (2 * k * c_p * (R * wp + 256) * itemsize
-                     + 3 * cout * R * wp * 4) > 11 * 2 ** 20:
-        R //= 2
-    R = _pick_r(out_h, R)
-    chunks = out_h // R
-    steps = n * chunks
-    kern = functools.partial(
-        _lowcin_kernel, k=k, R=R, W=out_w, Wp=wp, base=base, c_p=c_p,
-        cout=cout, pad=pad, chunks=chunks, steps=steps)
-    return _pallas(
-        kern,
-        grid=(steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k, cout, k * c_p), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, R, out_w, cout), lambda s: (s // chunks, s % chunks, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, cout), xf.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, k * c_p, R * wp + 256), xf.dtype),
-            pltpu.SemaphoreType.DMA((2, k)),
-        ],
-    )(xf, w_dx)
-
-
-# ---------------------------------------------------------------------------
-# primB: low-cout conv (col2im)
-# ---------------------------------------------------------------------------
-
-
-def _lowcout_kernel(xf_ref, w_ref, o_ref, slab2, sem,
-                    *, k, R, W, Wp, base, c_p, cout, co_p, pad, chunks,
-                    steps):
-    step = pl.program_id(0)
-    Ls = (R + k - 1) * Wp
-    L = R * Wp
-    delta = (base - pad) % 128
-
-    def lane0(i):
-        return (base - pad - delta) + i * R * Wp
-
-    def start(slot, s):
-        nn, ii = s // chunks, s % chunks
-        pltpu.make_async_copy(
-            xf_ref.at[nn].at[:, pl.ds(lane0(ii), Ls + 256)],
-            slab2.at[slot],
-            sem.at[slot],
-        ).start()
-
-    @pl.when(step == 0)
-    def _():
-        start(0, step)
-
-    @pl.when(step + 1 < steps)
-    def _():
-        start((step + 1) % 2, step + 1)
-
-    slot = step % 2
-    nn, ii = step // chunks, step % chunks
-    pltpu.make_async_copy(
-        xf_ref.at[nn].at[:, pl.ds(lane0(ii), Ls + 256)],
-        slab2.at[slot],
-        sem.at[slot],
-    ).wait()
-    slab = slab2[slot]
+        P_ref[dy * c_p:(dy + 1) * c_p, :] = S[0:c_p, dy * wp:dy * wp + Lp]
+    P = P_ref[...]
+    g = max(1, min(k, 128 // max(co_p, 1)))
     acc = jnp.zeros((co_p, L), jnp.float32)
-    for dy in range(k):
-        # z[(dx, co), :] = sum_ci w[dy, dx, ci, co] * slab[ci, :]
-        # (full slab width incl. +128 slack so the dx slices below
-        # never run off the end)
+    for g0 in range(0, k, g):
+        gc = min(g, k - g0)
         z = jax.lax.dot_general(
-            w_ref[dy], slab,
+            w_ref[g0 * co_p:(g0 + gc) * co_p], P,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (k*co_p, Ls+128) f32
-        for dx in range(k):
-            off = delta + dy * Wp + dx
-            acc = acc + z[dx * co_p:(dx + 1) * co_p, off:off + L]
-    accb = acc.astype(o_ref.dtype)
-    o_ref[0] = accb.T.reshape(R, Wp, co_p)[:, :W, :cout]
+            preferred_element_type=jnp.float32)
+        for t in range(gc):
+            dx = g0 + t
+            acc = acc + z[t * co_p:(t + 1) * co_p, dx:dx + L]
+    accb = acc.astype(dtype)
+    for r in range(R):
+        o_ref[0, r] = accb[0:cout, r * wp:r * wp + out_w]
 
 
-def _lowcout_call(xf, w_dy, *, k, pad, out_h, out_w, cout, c_p, wp, base,
-                  R=16):
-    n = xf.shape[0]
+def _conv_vmem_estimate(*, k, R, wp, c_p, cout, co_p, w_in, c,
+                        out_w, itemsize):
+    L = R * wp
+    Lp = L + k - 1
+    slab = c_p * ((R + k - 1) * wp + 128) * itemsize
+    blocks = 2 * ((R + k - 1) * _rup(c, 8) * _rup(w_in, 128) * itemsize
+                  + R * _rup(cout, 8) * _rup(out_w, 128) * itemsize)
+    acc = co_p * L * 4
+    patch = k * c_p * Lp * itemsize
+    g = max(1, min(k, 128 // max(co_p, 1)))
+    z = g * co_p * Lp * 4
+    return slab + blocks + 2 * acc + patch + z
+
+
+def _conv_call(x, w_packed, *, k, p, cin, cout, reflect):
+    """x: channel-major (N, H, C, W); returns (N, OH, CO, OW)."""
+    n, h, _, w_in = x.shape
+    c_p = _rup(max(cin, 1), 8)
     co_p = _rup(cout, 8)
-    itemsize = jnp.dtype(xf.dtype).itemsize
-    while R > 8 and (2 * c_p * ((R + k - 1) * wp + 256) * itemsize
-                     + (k * co_p + 2 * co_p) * (R + k - 1) * wp * 4
-                     ) > 11 * 2 ** 20:
+    wp = w_in + 2 * p
+    out_h = h + 2 * p - (k - 1)
+    out_w = wp - (k - 1)
+    itemsize = jnp.dtype(x.dtype).itemsize
+    R = 16
+    while R > 4 and _conv_vmem_estimate(
+            k=k, R=R, wp=wp, c_p=c_p, cout=cout, co_p=co_p,
+            w_in=w_in, c=cin, out_w=out_w, itemsize=itemsize) > 10 * 2 ** 20:
         R //= 2
-    R = _pick_r(out_h, R)
-    chunks = out_h // R
+    # Reflect mode has no in-kernel row masking, so the main block may
+    # not run past the input: R must divide h (h % 8 == 0 per
+    # _supported). Zero mode masks invalid rows and tolerates partial
+    # chunks.
+    if reflect:
+        while R > 1 and h % R:
+            R //= 2
+    chunks = _cdiv(out_h, R)
     steps = n * chunks
+
+    specs = _row_specs(n=n, h=h, w_in=w_in, c=cin, R=R, chunks=chunks,
+                       p=p, k=k, reflect=reflect)
+    specs.append(pl.BlockSpec(w_packed.shape, lambda s: (0, 0),
+                              memory_space=pltpu.VMEM))
     kern = functools.partial(
-        _lowcout_kernel, k=k, R=R, W=out_w, Wp=wp, base=base, c_p=c_p,
-        cout=cout, co_p=co_p, pad=pad, chunks=chunks, steps=steps)
+        _conv_kernel, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
+        cout=cout, co_p=co_p, out_w=out_w, reflect=reflect, h=h,
+        chunks=chunks, dtype=x.dtype)
     return _pallas(
         kern,
         grid=(steps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((k, k * co_p, c_p), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec(
-            (1, R, out_w, cout), lambda s: (s // chunks, s % chunks, 0, 0),
+            (1, R, cout, out_w), lambda s: (s // chunks, s % chunks, 0, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, cout), xf.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, out_h, cout, out_w), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, c_p, (R + k - 1) * wp + 256), xf.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype),
+            pltpu.VMEM((k * c_p, R * wp + k - 1), x.dtype),
         ],
-    )(xf, w_dy)
+    )(*([x] * k), w_packed)
 
 
 # ---------------------------------------------------------------------------
-# primW: weight gradient
+# weight gradient
 # ---------------------------------------------------------------------------
 
 
-def _dw_kernel(xf_ref, gf_ref, o_ref, patch2, gy2, sem, gsem, dwacc,
-               *, k, R, Wp, base, c_p, co_p, pad, chunks, steps):
+def _dw_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, h, chunks,
+               steps, dtype):
+    xmain_ref = refs[0]
+    xrow_refs = refs[1:k]
+    gmain_ref = refs[k]
+    o_ref = refs[k + 1]
+    Sx = refs[k + 2]
+    Sg = refs[k + 3]
+    dwacc = refs[k + 4]
+    P_ref = refs[k + 5]
+    G_ref = refs[k + 6]
+
     step = pl.program_id(0)
-    L = R * Wp
-    delta = (base - pad) % 128
-    gdelta = base % 128
+    _assemble_slab(Sx, xmain_ref, xrow_refs, k=k, p=p, R=R, w_in=w_in,
+                   wp=wp, c=c, reflect=True, h=h, chunks=chunks)
 
-    def lane0(i, dy):
-        return (base - pad - delta) + (i * R + dy) * Wp
+    # g slab: rows at the same stride wp, zero lane tails + k-1 zero
+    # lanes in FRONT so the dx shift becomes a left slice of Sg.
+    L = R * wp
+    Lp = L + k - 1
+    zrow = jnp.zeros((cout, wp - w_in), dtype)
+    Sg[:, 0:k - 1] = jnp.zeros((co_p, k - 1), dtype)
+    for r in range(R):
+        Sg[0:cout, k - 1 + r * wp:k - 1 + (r + 1) * wp] = (
+            jnp.concatenate([gmain_ref[0, r], zrow], axis=1))
+    Sg[:, k - 1 + L:k - 1 + L + 128] = jnp.zeros((co_p, 128), dtype)
 
-    def glane0(i):
-        return (base - gdelta) + i * R * Wp
-
-    def start(slot, s):
-        nn, ii = s // chunks, s % chunks
-        for dy in range(k):
-            pltpu.make_async_copy(
-                xf_ref.at[nn].at[:, pl.ds(lane0(ii, dy), L + 256)],
-                patch2.at[slot, pl.ds(dy * c_p, c_p), :],
-                sem.at[slot, dy],
-            ).start()
-        pltpu.make_async_copy(
-            gf_ref.at[nn].at[:, pl.ds(glane0(ii), L + 128)],
-            gy2.at[slot],
-            gsem.at[slot],
-        ).start()
-
-    @pl.when(step == 0)
-    def _():
-        start(0, step)
-
-    @pl.when(step + 1 < steps)
-    def _():
-        start((step + 1) % 2, step + 1)
-
-    slot = step % 2
-    nn, ii = step // chunks, step % chunks
     for dy in range(k):
-        pltpu.make_async_copy(
-            xf_ref.at[nn].at[:, pl.ds(lane0(ii, dy), L + 256)],
-            patch2.at[slot, pl.ds(dy * c_p, c_p), :],
-            sem.at[slot, dy],
-        ).wait()
-    pltpu.make_async_copy(
-        gf_ref.at[nn].at[:, pl.ds(glane0(ii), L + 128)],
-        gy2.at[slot],
-        gsem.at[slot],
-    ).wait()
+        P_ref[dy * c_p:(dy + 1) * c_p, :] = Sx[0:c_p, dy * wp:dy * wp + Lp]
+    # G'[(dx, co), m] = g[co, m - dx] (zero out of range)
+    for dx in range(k):
+        G_ref[dx * co_p:(dx + 1) * co_p, :] = (
+            Sg[0:co_p, (k - 1) - dx:(k - 1) - dx + Lp])
+
+    part = jax.lax.dot_general(
+        P_ref[...], G_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (k*c_p, k*co_p)
 
     @pl.when(step == 0)
     def _():
         dwacc[...] = jnp.zeros_like(dwacc)
 
-    p = patch2[slot]
-    g = gy2[slot]
-    for dx in range(k):
-        part = jax.lax.dot_general(
-            p[:, delta + dx:delta + dx + L], g[:, gdelta:gdelta + L],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dwacc[dx] = dwacc[dx] + part
+    dwacc[...] = dwacc[...] + part
 
     @pl.when(step == steps - 1)
     def _():
         o_ref[...] = dwacc[...]
 
 
-def _dw_call(xf, gf, *, k, pad, out_h, c_p, co_p, wp, base, R=16):
-    """xf: flat input (pad=k//2 borders); gf: flat output-grad (pad=0,
-    same wp). Returns (k_dx, k_dy*c_p, co_p) f32."""
-    n = xf.shape[0]
-    itemsize = jnp.dtype(xf.dtype).itemsize
-    while R > 4 and 2 * k * c_p * (R * wp + 128) * itemsize > 8 * 2 ** 20:
+def _dw_call(x, g, *, k):
+    """dw[(dy,ci),(dx,co)] of conv(reflect_pad(x, k//2), w) wrt w, as a
+    (k*c_p, k*co_p) f32 array (caller reshapes/crops). x, g are NHWC;
+    transposed to channel-major here."""
+    n, h, w_in, cin = x.shape
+    cout = g.shape[-1]
+    x = jnp.transpose(x, (0, 1, 3, 2))
+    g = jnp.transpose(g, (0, 1, 3, 2))
+    p = k // 2
+    c_p = _rup(max(cin, 1), 8)
+    co_p = _rup(cout, 8)
+    wp = w_in + 2 * p
+    itemsize = jnp.dtype(x.dtype).itemsize
+    R = 16
+
+    def est(R):
+        L = R * wp
+        Lp = L + k - 1
+        return (c_p * ((R + k - 1) * wp + 128) * itemsize      # Sx
+                + co_p * (Lp + 256) * itemsize                 # Sg
+                + k * c_p * Lp * itemsize                      # P
+                + k * co_p * Lp * itemsize                     # G
+                + 2 * k * c_p * k * co_p * 4                   # dwacc+part
+                + 2 * (R + k - 1) * _rup(w_in, 128)
+                * (_rup(cin, 8) + _rup(cout, 8)) * itemsize)
+
+    while R > 4 and est(R) > 10 * 2 ** 20:
         R //= 2
-    R = _pick_r(out_h, R)
-    chunks = out_h // R
+    while R > 1 and h % R:  # Sx assembly is reflect mode: R must divide h
+        R //= 2
+    chunks = _cdiv(h, R)
     steps = n * chunks
+
+    specs = _row_specs(n=n, h=h, w_in=w_in, c=cin, R=R, chunks=chunks,
+                       p=p, k=k, reflect=True)
+    specs.append(pl.BlockSpec((1, R, cout, w_in),
+                              lambda s: (s // chunks, s % chunks, 0, 0),
+                              memory_space=pltpu.VMEM))
     kern = functools.partial(
-        _dw_kernel, k=k, R=R, Wp=wp, base=base, c_p=c_p, co_p=co_p,
-        pad=pad, chunks=chunks, steps=steps)
+        _dw_kernel, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
+        cout=cout, co_p=co_p, h=h, chunks=chunks, steps=steps,
+        dtype=x.dtype)
     return _pallas(
         kern,
         grid=(steps,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((k, k * c_p, co_p), lambda s: (0, 0, 0),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((k * c_p, k * co_p), lambda s: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, k * c_p, co_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k * c_p, k * co_p), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, k * c_p, R * wp + 256), xf.dtype),
-            pltpu.VMEM((2, co_p, R * wp + 128), xf.dtype),
-            pltpu.SemaphoreType.DMA((2, k)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((k, k * c_p, co_p), jnp.float32),
+            pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype),
+            pltpu.VMEM((co_p, (R * wp + k - 1) + 256), x.dtype),
+            pltpu.VMEM((k * c_p, k * co_p), jnp.float32),
+            pltpu.VMEM((k * c_p, R * wp + k - 1), x.dtype),
+            pltpu.VMEM((k * co_p, R * wp + k - 1), x.dtype),
         ],
-    )(xf, gf)
+    )(*([x] * k), g)
 
 
 # ---------------------------------------------------------------------------
@@ -492,19 +403,11 @@ def _dw_call(xf, gf, *, k, pad, out_h, c_p, co_p, wp, base, R=16):
 # ---------------------------------------------------------------------------
 
 
-def _pack_w_dx(w, c_p):
-    """(k,k,cin,cout) -> (k_dx, cout, k_dy*c_p) for primA."""
+def _pack_w(w, c_p, co_p):
+    """(k,k,cin,cout) -> (k_dx*co_p, k_dy*c_p)."""
     k, _, cin, cout = w.shape
-    wpad = jnp.pad(w, ((0, 0), (0, 0), (0, c_p - cin), (0, 0)))
-    return wpad.transpose(1, 3, 0, 2).reshape(k, cout, k * c_p)
-
-
-def _pack_w_dy(w, co_p, c_p):
-    """(k,k,cin,cout) -> (k_dy, k_dx*co_p, c_p) for primB."""
-    k, _, cin, cout = w.shape
-    wpad = jnp.pad(
-        w, ((0, 0), (0, 0), (0, c_p - cin), (0, co_p - cout)))
-    return wpad.transpose(0, 1, 3, 2).reshape(k, k * co_p, c_p)
+    wpad = jnp.pad(w, ((0, 0), (0, 0), (0, c_p - cin), (0, co_p - cout)))
+    return wpad.transpose(1, 3, 0, 2).reshape(k * co_p, k * c_p)
 
 
 # ---------------------------------------------------------------------------
@@ -512,25 +415,20 @@ def _pack_w_dy(w, co_p, c_p):
 # ---------------------------------------------------------------------------
 
 
-def _conv_flat(xf, w, *, pad, out_h, out_w, c_p, wp, base):
-    """Dispatch a flat input through primA or primB; output rows are
-    rounded up to 16 internally and sliced by the caller."""
+def _conv_dispatch(x, w, *, pad_mode):
+    """One fused pallas call: reflect-SAME conv (pad_mode='reflect') or
+    zero-padded FULL correlation (pad_mode='zero', p=k-1). x is NHWC;
+    the channel-major kernel I/O transposes live here in XLA (small
+    tensors: at most 2 bytes * H*W*max(cin,cout))."""
     k, _, cin, cout = w.shape
-    out_h_pad = _rup(out_h, 16)
-    if cout < cin:
-        co_p = _rup(cout, 8)
-        y = _lowcout_call(
-            xf, _pack_w_dy(w, co_p, c_p).astype(xf.dtype),
-            k=k, pad=pad, out_h=out_h_pad, out_w=out_w, cout=cout,
-            c_p=c_p, wp=wp, base=base)
-    else:
-        y = _lowcin_call(
-            xf, _pack_w_dx(w, c_p).astype(xf.dtype),
-            k=k, pad=pad, out_h=out_h_pad, out_w=out_w, cout=cout,
-            c_p=c_p, wp=wp, base=base)
-    if out_h_pad != out_h:
-        y = y[:, :out_h]
-    return y
+    reflect = pad_mode == "reflect"
+    p = k // 2 if reflect else k - 1
+    c_p = _rup(max(cin, 1), 8)
+    co_p = _rup(cout, 8)
+    wp = _pack_w(w, c_p, co_p).astype(x.dtype)
+    xt = jnp.transpose(x, (0, 1, 3, 2))
+    yt = _conv_call(xt, wp, k=k, p=p, cin=cin, cout=cout, reflect=reflect)
+    return jnp.transpose(yt, (0, 1, 3, 2))
 
 
 def _knob(name):
@@ -540,30 +438,9 @@ def _knob(name):
 
 
 def _fwd_impl(x, w):
-    n, h, wd, cin = x.shape
-    k = w.shape[0]
-    pad = k // 2
-    c_p, wp, base, _, _ = _flat_geom(h, wd, cin, pad)
     if not _knob("VCT_STARVED_FWD"):
-        return reflect_conv(x, w), x
-    xf = _flatten(x, pad, True)
-    y = _conv_flat(xf, w, pad=pad, out_h=h, out_w=wd, c_p=c_p, wp=wp,
-                   base=base)
-    return y, xf
-
-
-def _grad_x_full(g, w):
-    """(N, H+2p, W+2p, cin) input gradient on the padded grid =
-    full correlation of g with the rotated kernel."""
-    n, h, wd, cout = g.shape
-    k = w.shape[0]
-    pad = k // 2
-    full = k - 1
-    wrot = w[::-1, ::-1].transpose(0, 1, 3, 2)  # (k, k, cout, cin)
-    co_p, wp2, base2, _, _ = _flat_geom(h, wd, cout, full)
-    gf = _flatten(g, full, False)
-    return _conv_flat(gf, wrot, pad=full, out_h=h + 2 * pad,
-                      out_w=wd + 2 * pad, c_p=co_p, wp=wp2, base=base2)
+        return reflect_conv(x, w)
+    return _conv_dispatch(x, w, pad_mode="reflect")
 
 
 def _reflect_fold(gp, pad):
@@ -596,60 +473,33 @@ def _reflect_fold(gp, pad):
     ], axis=2)
 
 
-def _unflatten(xf, h, wd, cin, pad):
-    """Recover the raw NHWC tensor from its flat form."""
-    c_p, wp, base, rows_pad, rows_flat = _flat_geom(h, wd, cin, pad)
-    v = xf[:, :cin].reshape(xf.shape[0], cin, rows_flat, wp)
-    v = v[:, :, pad:pad + h, base:base + wd]
-    return v.transpose(0, 2, 3, 1)
-
-
-def _grad_x_full_xla(g, w):
-    """XLA version of _grad_x_full for A/B comparisons."""
-    k = w.shape[0]
-    full = k - 1
-    wrot = w[::-1, ::-1].transpose(0, 1, 3, 2)
-    gp = jnp.pad(g, ((0, 0), (full, full), (full, full), (0, 0)))
-    return jax.lax.conv_general_dilated(
-        gp, wrot, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-
 def _bwd_impl(res, g):
-    xf, w = res
+    x, w = res
     k = w.shape[0]
     pad = k // 2
     cin, cout = w.shape[2], w.shape[3]
-    n, h, wd = g.shape[0], g.shape[1], g.shape[2]
-    g = g.astype(xf.dtype)
+    g = g.astype(x.dtype)
     if not _knob("VCT_STARVED_FWD"):
-        # residual is the raw input (see _fwd_impl); XLA autodiff path
-        x = xf
         _, vjp = jax.vjp(reflect_conv, x, w)
         return vjp(g)
     dx_on, dw_on = _knob("VCT_STARVED_DX"), _knob("VCT_STARVED_DW")
     dxa = dwa = None
     if not (dx_on and dw_on):
         # A/B debug path: XLA's own gradient conv(s)
-        x = _unflatten(xf, h, wd, cin, pad)
         _, vjp = jax.vjp(reflect_conv, x, w)
         dxa, dwa = vjp(g)
-    c_p, wp, base, _, _ = _flat_geom(h, wd, cin, pad)
     if dx_on:
         # dx: full-size gradient conv then reflect-pad adjoint fold
-        dx = _reflect_fold(_grad_x_full(g, w), pad)
+        wrot = w[::-1, ::-1].transpose(0, 1, 3, 2)  # (k, k, cout, cin)
+        dx = _reflect_fold(_conv_dispatch(g, wrot, pad_mode="zero"), pad)
     else:
         dx = dxa
     if dw_on:
-        # dw via lane-contracting dots; g flattened with the SAME row
-        # stride as xf so lanes align tap-for-tap
+        c_p = _rup(max(cin, 1), 8)
         co_p = _rup(cout, 8)
-        gf = _flatten(g, 0, False, wp_override=wp)
-        out_h_pad = _rup(h, 16)
-        dw_raw = _dw_call(xf, gf, k=k, pad=pad, out_h=out_h_pad,
-                          c_p=c_p, co_p=co_p, wp=wp, base=base)
-        dw = dw_raw.reshape(k, k, c_p, co_p)[:, :, :cin, :cout]
-        dw = dw.transpose(1, 0, 2, 3).astype(w.dtype)
+        raw = _dw_call(x, g, k=k)               # (k*c_p, k*co_p) f32
+        dw = raw.reshape(k, c_p, k, co_p).transpose(0, 2, 1, 3)
+        dw = dw[:, :, :cin, :cout].astype(w.dtype)
     else:
         dw = dwa
     return dx, dw
@@ -657,13 +507,11 @@ def _bwd_impl(res, g):
 
 @jax.custom_vjp
 def _starved_conv(x, w):
-    y, _ = _fwd_impl(x, w)
-    return y
+    return _fwd_impl(x, w)
 
 
 def _starved_conv_fwd(x, w):
-    y, xf = _fwd_impl(x, w)
-    return y, (xf, w)
+    return _fwd_impl(x, w), (x, w)
 
 
 _starved_conv.defvjp(_starved_conv_fwd, _bwd_impl)
@@ -688,15 +536,14 @@ def _supported(x_shape, w_shape, dtype) -> bool:
 
 
 def use_starved_conv() -> bool:
-    """Opt-in (VCT_STARVED_CONV=1): per-layer the kernels beat or match
-    XLA in isolation, but in a full train step XLA inserts layout copies
-    at every pallas boundary (~31 ms/step profiled on the autoencoder)
-    which currently outweighs the win; default stays on the XLA path
-    until the flatten+conv fusion lands."""
+    """Default ON for TPU backends (VCT_STARVED_CONV=0 opts out): with
+    the relayout fused into each conv call the round-2 pallas-boundary
+    copies are gone and the kernels win end-to-end (see ROADMAP.md)."""
     import os
 
-    if os.environ.get("VCT_STARVED_CONV", "0") != "1":
-        return False
+    env = os.environ.get("VCT_STARVED_CONV")
+    if env is not None:
+        return env == "1"
     if _INTERPRET:
         return True
     try:
@@ -707,7 +554,8 @@ def use_starved_conv() -> bool:
 
 def starved_reflect_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Reflect-padded SAME conv (stride 1, odd k) dispatching the
-    MXU-starved shapes to the Pallas kernels; others to reflect_conv."""
+    MXU-starved shapes to the fused Pallas kernels; others to
+    reflect_conv."""
     if _supported(x.shape, jnp.shape(w), x.dtype) and use_starved_conv():
         return _starved_conv(x, w)
     return reflect_conv(x, w)
