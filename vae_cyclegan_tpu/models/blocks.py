@@ -79,6 +79,12 @@ class ReflectConv(nn.Module):
     correction, avoiding the padded-tensor copy that profiling showed at
     ~27% of the flagship train step. Other shapes (the discriminator's
     k4/s2 convs) materialize the reflect pad as before.
+
+    cm_in/cm_out: the tensor on that side is channel-major (N, H, C, W)
+    instead of NHWC. Adjacent MXU-starved Pallas sites (U4 -> IN -> tail)
+    hand tensors over in the kernels' native layout, eliding two
+    200 MB-class boundary transposes per generator pass; when the Pallas
+    path does not engage, explicit transposes preserve the contract.
     """
 
     features: int
@@ -88,33 +94,57 @@ class ReflectConv(nn.Module):
     use_bias: bool = True
     kernel_init_nonlinearity: str = "relu"
     dtype: Optional[Dtype] = None
+    cm_in: bool = False
+    cm_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from vae_cyclegan_tpu.ops.starved_conv import starved_reflect_conv
+        from vae_cyclegan_tpu.ops.starved_conv import (
+            _starved_conv_cm,
+            _to_cm,
+            _to_nhwc,
+            cm_engaged,
+            starved_reflect_conv,
+        )
 
+        if self.cm_in:
+            n, h, c, wd = x.shape
+            nhwc_shape = (n, h, wd, c)
+        else:
+            nhwc_shape = x.shape
+        cin = nhwc_shape[-1]
         kernel, bias = _ConvParams(
             self.features,
             self.kernel_size,
             self.use_bias,
             self.kernel_init_nonlinearity,
             name="Conv_0",
-        )(x.shape[-1])
+        )(cin)
         dtype = self.dtype or x.dtype
         xc = x.astype(dtype)
         kc = kernel.astype(dtype)
-        if self.stride == 1 and self.padding == self.kernel_size // 2:
-            # dispatches MXU-starved shapes (k7 head/tail, low-channel
-            # upsample convs) to the Pallas kernel suite on TPU
-            y = starved_reflect_conv(xc, kc)
+        same = self.stride == 1 and self.padding == self.kernel_size // 2
+        if same and cm_engaged(nhwc_shape, kc.shape, dtype):
+            xt = xc if self.cm_in else _to_cm(xc)
+            yt = _starved_conv_cm(xt, kc)
+            y = yt if self.cm_out else _to_nhwc(yt)
+            cm_y = self.cm_out
         else:
-            xp = reflect_pad(xc, self.padding)
-            y = jax.lax.conv_general_dilated(
-                xp, kc, (self.stride, self.stride), "VALID",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            xn = _to_nhwc(xc) if self.cm_in else xc
+            if same:
+                y = starved_reflect_conv(xn, kc)
+            else:
+                xp = reflect_pad(xn, self.padding)
+                y = jax.lax.conv_general_dilated(
+                    xp, kc, (self.stride, self.stride), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            if self.cm_out:
+                y = _to_cm(y)
+            cm_y = self.cm_out
         if bias is not None:
-            y = y + bias.astype(y.dtype)
+            b = bias.astype(y.dtype)
+            y = y + (b[:, None] if cm_y else b)
         return y
 
 
@@ -130,6 +160,7 @@ class CaSb(nn.Module):
     kernel_init_nonlinearity: str = "relu"
     use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
+    cm_in: bool = False  # input arrives channel-major (N, H, C, W)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -141,6 +172,7 @@ class CaSb(nn.Module):
             self.padding,
             kernel_init_nonlinearity=self.kernel_init_nonlinearity,
             dtype=self.dtype,
+            cm_in=self.cm_in,
         )(x)
         if self.use_norm:
             return instance_norm_act(
@@ -192,17 +224,26 @@ class RBlock(nn.Module):
 
 
 class UBlock(nn.Module):
-    """PixelShuffle(2) -> conv3x3(in/4 -> out) -> ReLU -> IN (Networks.py:118-131)."""
+    """PixelShuffle(2) -> conv3x3(in/4 -> out) -> ReLU -> IN (Networks.py:118-131).
+
+    cm_out: emit channel-major (N, H, C, W) — set by Decoder on U4 when
+    the following tail conv also takes the Pallas path, so the IN+act
+    between them runs on the kernels' native layout with no transposes.
+    """
 
     features: int
     use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
+    cm_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = pixel_shuffle(x, 2)
-        x = ReflectConv(self.features, 3, 1, 1, dtype=self.dtype)(x)
-        return instance_norm_act(x, act="relu", order="act_norm", use_pallas=self.use_pallas)
+        x = ReflectConv(self.features, 3, 1, 1, dtype=self.dtype,
+                        cm_out=self.cm_out)(x)
+        return instance_norm_act(x, act="relu", order="act_norm",
+                                 use_pallas=self.use_pallas,
+                                 channel_major=self.cm_out)
 
 
 class SConv(nn.Module):

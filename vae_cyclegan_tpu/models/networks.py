@@ -71,15 +71,28 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vae_cyclegan_tpu.ops.starved_conv import cm_engaged
+
         w = self.base_width
+        dtype = self.dtype or x.dtype
         x = RBlock(w * 16, use_pallas=self.use_pallas, dtype=self.dtype)(x)
         x = UBlock(w * 8, use_pallas=self.use_pallas, dtype=self.dtype)(x)
         x = UBlock(w * 4, use_pallas=self.use_pallas, dtype=self.dtype)(x)
         x = UBlock(w * 2, use_pallas=self.use_pallas, dtype=self.dtype)(x)
-        x = UBlock(w, use_pallas=self.use_pallas, dtype=self.dtype)(x)
+        # U4 -> IN -> tail: when both convs take the Pallas kernels, the
+        # tensors between them stay channel-major (kernel-native layout),
+        # eliding two full-tensor transposes per pass
+        n, h4, w4, _ = x.shape
+        hw = (2 * h4, 2 * w4)
+        cm = (cm_engaged((n, *hw, w // 2), (3, 3, w // 2, w), dtype)
+              and cm_engaged((n, *hw, w), (7, 7, w, self.out_channels),
+                             dtype))
+        x = UBlock(w, use_pallas=self.use_pallas, dtype=self.dtype,
+                   cm_out=cm)(x)
         x = CaSb(self.out_channels, kernel_size=7, stride=1, padding=3,
                  activation="Identity", use_norm=False,
-                 use_pallas=self.use_pallas, dtype=self.dtype)(x)
+                 use_pallas=self.use_pallas, dtype=self.dtype,
+                 cm_in=cm)(x)
         return x
 
 

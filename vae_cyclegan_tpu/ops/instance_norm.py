@@ -54,21 +54,26 @@ _ACTS: dict[str, Callable[[jnp.ndarray], jnp.ndarray]] = {
 }
 
 
-def instance_norm(x: jnp.ndarray, eps: float = _EPS) -> jnp.ndarray:
-    """Plain InstanceNorm over NHWC (stats per (batch, channel), f32)."""
+def instance_norm(x: jnp.ndarray, eps: float = _EPS,
+                  spatial_axes=(1, 2)) -> jnp.ndarray:
+    """Plain InstanceNorm (stats per (batch, channel), f32). NHWC by
+    default; channel-major (N, H, C, W) uses spatial_axes=(1, 3)."""
     xf = x.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=(1, 2), keepdims=True)
+    mu = jnp.mean(xf, axis=spatial_axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=spatial_axes, keepdims=True)
     return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
-def _fused_reference(x: jnp.ndarray, act: str, order: str, eps: float) -> jnp.ndarray:
+def _fused_reference(x: jnp.ndarray, act: str, order: str, eps: float,
+                     spatial_axes=(1, 2)) -> jnp.ndarray:
     """Pure-jnp lowering of the fused op (used off-TPU and for verification)."""
     f = _ACTS[act]
     if order == "norm_act":
-        return f(instance_norm(x, eps).astype(jnp.float32)).astype(x.dtype)
+        return f(instance_norm(x, eps, spatial_axes).astype(jnp.float32)
+                 ).astype(x.dtype)
     elif order == "act_norm":
-        return instance_norm(f(x.astype(jnp.float32)).astype(x.dtype), eps)
+        return instance_norm(f(x.astype(jnp.float32)).astype(x.dtype), eps,
+                             spatial_axes)
     raise ValueError(f"unknown order {order}")
 
 
@@ -284,11 +289,14 @@ def instance_norm_act(
     order: str = "norm_act",
     eps: float = _EPS,
     use_pallas: bool | None = None,
+    channel_major: bool = False,
 ) -> jnp.ndarray:
     """Fused InstanceNorm+activation in either order.
 
     Args:
-      x: NHWC tensor.
+      x: NHWC tensor; or (N, H, C, W) with channel_major=True (used
+        between adjacent starved-conv Pallas sites so the layout rides
+        through — stats reduce over axes (1, 3) instead).
       act: one of relu / leaky_relu / tanh / sigmoid / identity.
       order: 'norm_act' (CaSb) or 'act_norm' (D/R/U blocks).
       use_pallas: force the Pallas path (None = auto: TPU backend and slab
@@ -296,6 +304,10 @@ def instance_norm_act(
     """
     if act not in _ACTS:
         raise NotImplementedError(f"Activation not implemented: {act}")
+    if channel_major:
+        # big-spatial tensors only (the starved sites): always over the
+        # XLA-fused lowering, which handles either layout equally well
+        return _fused_reference(x, act, order, eps, spatial_axes=(1, 3))
     if use_pallas == "tiled" and _HAS_PLTPU:
         # explicit opt-in: two-pass tiled kernel regardless of slab size.
         # Measured 4% slower than XLA's fusion on the cyclevaegan hot path

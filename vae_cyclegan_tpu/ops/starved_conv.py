@@ -341,12 +341,10 @@ def _dw_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, h, chunks,
 
 def _dw_call(x, g, *, k):
     """dw[(dy,ci),(dx,co)] of conv(reflect_pad(x, k//2), w) wrt w, as a
-    (k*c_p, k*co_p) f32 array (caller reshapes/crops). x, g are NHWC;
-    transposed to channel-major here."""
-    n, h, w_in, cin = x.shape
-    cout = g.shape[-1]
-    x = jnp.transpose(x, (0, 1, 3, 2))
-    g = jnp.transpose(g, (0, 1, 3, 2))
+    (k*c_p, k*co_p) f32 array (caller reshapes/crops). x, g are
+    channel-major (N, H, C, W) / (N, H, CO, W)."""
+    n, h, cin, w_in = x.shape
+    cout = g.shape[2]
     p = k // 2
     c_p = _rup(max(cin, 1), 8)
     co_p = _rup(cout, 8)
@@ -415,19 +413,26 @@ def _pack_w(w, c_p, co_p):
 # ---------------------------------------------------------------------------
 
 
-def _conv_dispatch(x, w, *, pad_mode):
-    """One fused pallas call: reflect-SAME conv (pad_mode='reflect') or
-    zero-padded FULL correlation (pad_mode='zero', p=k-1). x is NHWC;
-    the channel-major kernel I/O transposes live here in XLA (small
-    tensors: at most 2 bytes * H*W*max(cin,cout))."""
+def _conv_dispatch_cm(x_cm, w, *, pad_mode):
+    """One fused pallas call on channel-major (N, H, C, W) data:
+    reflect-SAME conv (pad_mode='reflect') or zero-padded FULL
+    correlation (pad_mode='zero', p=k-1). Returns (N, OH, CO, OW)."""
     k, _, cin, cout = w.shape
     reflect = pad_mode == "reflect"
     p = k // 2 if reflect else k - 1
     c_p = _rup(max(cin, 1), 8)
     co_p = _rup(cout, 8)
-    wp = _pack_w(w, c_p, co_p).astype(x.dtype)
+    wp = _pack_w(w, c_p, co_p).astype(x_cm.dtype)
+    return _conv_call(x_cm, wp, k=k, p=p, cin=cin, cout=cout,
+                      reflect=reflect)
+
+
+def _conv_dispatch(x, w, *, pad_mode):
+    """NHWC wrapper: the channel-major kernel I/O transposes live here in
+    XLA (cheap for the small-channel side; for 64-channel sides prefer
+    the cm entry points so adjacent sites share the layout)."""
     xt = jnp.transpose(x, (0, 1, 3, 2))
-    yt = _conv_call(xt, wp, k=k, p=p, cin=cin, cout=cout, reflect=reflect)
+    yt = _conv_dispatch_cm(xt, w, pad_mode=pad_mode)
     return jnp.transpose(yt, (0, 1, 3, 2))
 
 
@@ -437,22 +442,30 @@ def _knob(name):
     return os.environ.get(name, "1") != "0"
 
 
-def _fwd_impl(x, w):
+def _to_nhwc(x_cm):
+    return jnp.transpose(x_cm, (0, 1, 3, 2))
+
+
+def _to_cm(x):
+    return jnp.transpose(x, (0, 1, 3, 2))
+
+
+def _fwd_impl_cm(x_cm, w):
     if not _knob("VCT_STARVED_FWD"):
-        return reflect_conv(x, w)
-    return _conv_dispatch(x, w, pad_mode="reflect")
+        return _to_cm(reflect_conv(_to_nhwc(x_cm), w))
+    return _conv_dispatch_cm(x_cm, w, pad_mode="reflect")
 
 
-def _reflect_fold(gp, pad):
-    """Adjoint of reflect padding: fold (N, H+2p, W+2p, C) back onto
-    (N, H, W, C).
+def _reflect_fold_cm(gp, pad):
+    """Adjoint of reflect padding on channel-major data: fold
+    (N, H+2p, C, W+2p) back onto (N, H, C, W).
 
     Built as one concat per axis (the border corrections touch only
     2*pad rows/cols) — `.at[].add` chains would copy the full tensor
     once per border, which measured as the dominant backward cost."""
     if pad == 0:
         return gp
-    n, hp, wp_, c = gp.shape
+    n, hp, c, wp_ = gp.shape
     h = hp - 2 * pad
     core = gp[:, pad:hp - pad]
     gp = jnp.concatenate([
@@ -463,41 +476,44 @@ def _reflect_fold(gp, pad):
         core[:, h - 1:h],
     ], axis=1)
     w = wp_ - 2 * pad
-    core = gp[:, :, pad:wp_ - pad]
+    core = gp[..., pad:wp_ - pad]
     return jnp.concatenate([
-        core[:, :, 0:1],
-        core[:, :, 1:pad + 1] + gp[:, :, pad - 1::-1],
-        core[:, :, pad + 1:w - pad - 1],
-        core[:, :, w - pad - 1:w - 1] + gp[:, :, :wp_ - pad - 1:-1],
-        core[:, :, w - 1:w],
-    ], axis=2)
+        core[..., 0:1],
+        core[..., 1:pad + 1] + gp[..., pad - 1::-1],
+        core[..., pad + 1:w - pad - 1],
+        core[..., w - pad - 1:w - 1] + gp[..., :wp_ - pad - 1:-1],
+        core[..., w - 1:w],
+    ], axis=3)
 
 
-def _bwd_impl(res, g):
-    x, w = res
+def _bwd_impl_cm(res, g_cm):
+    x_cm, w = res
     k = w.shape[0]
     pad = k // 2
     cin, cout = w.shape[2], w.shape[3]
-    g = g.astype(x.dtype)
+    g_cm = g_cm.astype(x_cm.dtype)
     if not _knob("VCT_STARVED_FWD"):
-        _, vjp = jax.vjp(reflect_conv, x, w)
-        return vjp(g)
+        _, vjp = jax.vjp(reflect_conv, _to_nhwc(x_cm), w)
+        dxn, dw = vjp(_to_nhwc(g_cm))
+        return _to_cm(dxn), dw
     dx_on, dw_on = _knob("VCT_STARVED_DX"), _knob("VCT_STARVED_DW")
     dxa = dwa = None
     if not (dx_on and dw_on):
         # A/B debug path: XLA's own gradient conv(s)
-        _, vjp = jax.vjp(reflect_conv, x, w)
-        dxa, dwa = vjp(g)
+        _, vjp = jax.vjp(reflect_conv, _to_nhwc(x_cm), w)
+        dxn, dwa = vjp(_to_nhwc(g_cm))
+        dxa = _to_cm(dxn)
     if dx_on:
         # dx: full-size gradient conv then reflect-pad adjoint fold
         wrot = w[::-1, ::-1].transpose(0, 1, 3, 2)  # (k, k, cout, cin)
-        dx = _reflect_fold(_conv_dispatch(g, wrot, pad_mode="zero"), pad)
+        dx = _reflect_fold_cm(
+            _conv_dispatch_cm(g_cm, wrot, pad_mode="zero"), pad)
     else:
         dx = dxa
     if dw_on:
         c_p = _rup(max(cin, 1), 8)
         co_p = _rup(cout, 8)
-        raw = _dw_call(x, g, k=k)               # (k*c_p, k*co_p) f32
+        raw = _dw_call(x_cm, g_cm, k=k)         # (k*c_p, k*co_p) f32
         dw = raw.reshape(k, c_p, k, co_p).transpose(0, 2, 1, 3)
         dw = dw[:, :, :cin, :cout].astype(w.dtype)
     else:
@@ -506,15 +522,22 @@ def _bwd_impl(res, g):
 
 
 @jax.custom_vjp
+def _starved_conv_cm(x_cm, w):
+    return _fwd_impl_cm(x_cm, w)
+
+
+def _starved_conv_cm_fwd(x_cm, w):
+    return _fwd_impl_cm(x_cm, w), (x_cm, w)
+
+
+_starved_conv_cm.defvjp(_starved_conv_cm_fwd, _bwd_impl_cm)
+
+
 def _starved_conv(x, w):
-    return _fwd_impl(x, w)
-
-
-def _starved_conv_fwd(x, w):
-    return _fwd_impl(x, w), (x, w)
-
-
-_starved_conv.defvjp(_starved_conv_fwd, _bwd_impl)
+    """NHWC entry: boundary transposes around the channel-major op (the
+    VJP flows through the cm custom_vjp; transposes differentiate
+    trivially)."""
+    return _to_nhwc(_starved_conv_cm(_to_cm(x), w))
 
 
 def _supported(x_shape, w_shape, dtype) -> bool:
@@ -559,3 +582,23 @@ def starved_reflect_conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     if _supported(x.shape, jnp.shape(w), x.dtype) and use_starved_conv():
         return _starved_conv(x, w)
     return reflect_conv(x, w)
+
+
+def cm_engaged(nhwc_shape, w_shape, dtype) -> bool:
+    """Would the Pallas path run for this (logical NHWC) conv? Blocks use
+    this to decide whether to hand channel-major tensors between adjacent
+    starved sites (U4 -> IN -> tail), eliding the boundary transposes."""
+    return _supported(tuple(nhwc_shape), tuple(w_shape), dtype) \
+        and use_starved_conv()
+
+
+def starved_reflect_conv_cm(x_cm: jnp.ndarray, w: jnp.ndarray
+                            ) -> jnp.ndarray:
+    """Channel-major (N, H, C, W) entry: same conv, no boundary
+    transposes. Caller must have verified `cm_engaged` for this shape;
+    unsupported shapes still compute correctly via the NHWC fallback."""
+    n, h, c, wd = x_cm.shape
+    if _supported((n, h, wd, c), jnp.shape(w), x_cm.dtype) \
+            and use_starved_conv():
+        return _starved_conv_cm(x_cm, w)
+    return _to_cm(reflect_conv(_to_nhwc(x_cm), w))
