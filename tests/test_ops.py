@@ -92,6 +92,36 @@ def test_fused_vjp_matches_autodiff_of_reference(rng):
             )
 
 
+def test_fused_xla_custom_vjp_matches_autodiff(rng):
+    """The big-slab XLA-forward custom_vjp (values, grads, both layouts)."""
+    from vae_cyclegan_tpu.ops.instance_norm import (
+        _fused_reference,
+        _fused_xla,
+    )
+
+    for axes, shape in [((1, 2), (2, 4, 6, 3)), ((1, 3), (2, 4, 3, 6))]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        g = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        for order in ["norm_act", "act_norm"]:
+            for act in ["relu", "tanh", "identity"]:
+                ref = lambda v: _fused_reference(v, act, order, 1e-5, axes)
+                got_y = _fused_xla(x, act, order, 1e-5, axes)
+                np.testing.assert_allclose(
+                    np.asarray(got_y), np.asarray(ref(x)), atol=1e-5,
+                    err_msg=f"fwd {order}/{act}/{axes}",
+                )
+                _, ref_vjp = jax.vjp(ref, x)
+                (want,) = ref_vjp(g)
+                _, vjp = jax.vjp(
+                    lambda v: _fused_xla(v, act, order, 1e-5, axes), x
+                )
+                (got,) = vjp(g)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), atol=1e-4,
+                    err_msg=f"bwd {order}/{act}/{axes}",
+                )
+
+
 def test_pixel_unshuffle_matches_torch(rng):
     x = rng.randn(2, 8, 8, 3).astype(np.float32)
     ours = np.asarray(pixel_unshuffle(jnp.asarray(x), 2))
@@ -194,8 +224,8 @@ def test_tiled_kernel_vjp_matches_reference(rng, monkeypatch):
 
 
 @pytest.mark.parametrize("k", [3, 7])
-def test_reflect_conv_strip_fix_exact(rng, k):
-    """Fused reflect conv == pad-then-conv, values and gradients."""
+def test_reflect_conv_exact(rng, k):
+    """reflect_conv == pad-then-conv, values and gradients."""
     from vae_cyclegan_tpu.ops.reflect_conv import reflect_conv
 
     x = jnp.asarray(rng.randn(2, 12, 10, 4).astype(np.float32))

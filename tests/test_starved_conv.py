@@ -14,7 +14,11 @@ from vae_cyclegan_tpu.ops.reflect_conv import _naive_reflect_conv
 
 
 @pytest.fixture(autouse=True)
-def _interpret_mode():
+def _interpret_mode(monkeypatch):
+    # FORCE all-pallas dispatch so the per-shape best-of table (which
+    # routes e.g. the cin<8 forward to XLA in production) does not hide
+    # kernel paths from these correctness tests.
+    monkeypatch.setenv("VCT_STARVED_FORCE", "1")
     sc.set_interpret(True)
     yield
     sc.set_interpret(False)
@@ -74,6 +78,26 @@ def test_full_correlation_zero_mode():
     want = jax.lax.conv_general_dilated(
         gp, wrot, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert got.shape == want.shape
+    assert float(jnp.max(jnp.abs(got - want))) < 5e-5
+
+
+@pytest.mark.parametrize("h,w,cin,cout,k", [
+    (32, 40, 8, 3, 7),    # tail-like dx: g has cout=3... here g chans=cin
+    (40, 32, 16, 8, 3),
+    (48, 48, 3, 8, 5),
+])
+def test_dx_border_fold_matches_oracle(h, w, cin, cout, k):
+    """zero_same kernel + strip corrections == fold(full_corr) oracle."""
+    p = k // 2
+    g = jax.random.normal(jax.random.PRNGKey(7), (2, h, cin, w),
+                          jnp.float32)
+    wgt = jax.random.normal(jax.random.PRNGKey(8), (k, k, cout, cin),
+                            jnp.float32) * 0.1
+    wrot = wgt[::-1, ::-1].transpose(0, 1, 3, 2)
+    got = sc._dx_with_border_fold(g, wrot, p)
+    want = sc._reflect_fold_cm(
+        sc._conv_dispatch_cm(g, wrot, pad_mode="zero"), p)
     assert got.shape == want.shape
     assert float(jnp.max(jnp.abs(got - want))) < 5e-5
 

@@ -74,11 +74,11 @@ class _ConvParams(nn.Module):
 class ReflectConv(nn.Module):
     """Reflect-padded conv, the only conv primitive the reference uses.
 
-    Stride-1 convs with padding == k//2 (every generator conv) take the
-    fused `ops.reflect_conv` path: XLA zero-pad conv + exact border strip
-    correction, avoiding the padded-tensor copy that profiling showed at
-    ~27% of the flagship train step. Other shapes (the discriminator's
-    k4/s2 convs) materialize the reflect pad as before.
+    Stride-1 convs with padding == k//2 (every generator conv) dispatch
+    the MXU-starved shapes to the fused Pallas kernels in
+    `ops.starved_conv` (reflect borders indexed in-kernel for free);
+    everything else — including the discriminator's k4/s2 convs — runs
+    the materialized reflect pad + XLA conv (`ops.reflect_conv`).
 
     cm_in/cm_out: the tensor on that side is channel-major (N, H, C, W)
     instead of NHWC. Adjacent MXU-starved Pallas sites (U4 -> IN -> tail)

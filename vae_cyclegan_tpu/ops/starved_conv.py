@@ -415,11 +415,13 @@ def _pack_w(w, c_p, co_p):
 
 def _conv_dispatch_cm(x_cm, w, *, pad_mode):
     """One fused pallas call on channel-major (N, H, C, W) data:
-    reflect-SAME conv (pad_mode='reflect') or zero-padded FULL
-    correlation (pad_mode='zero', p=k-1). Returns (N, OH, CO, OW)."""
+    reflect-SAME conv (pad_mode='reflect'), zero-padded FULL correlation
+    (pad_mode='zero', p=k-1), or zero-padded SAME (pad_mode='zero_same',
+    p=k//2 — the core of the reflect-pad adjoint fold, see
+    `_dx_with_border_fold`). Returns (N, OH, CO, OW)."""
     k, _, cin, cout = w.shape
     reflect = pad_mode == "reflect"
-    p = k // 2 if reflect else k - 1
+    p = k // 2 if pad_mode in ("reflect", "zero_same") else k - 1
     c_p = _rup(max(cin, 1), 8)
     co_p = _rup(cout, 8)
     wp = _pack_w(w, c_p, co_p).astype(x_cm.dtype)
@@ -442,6 +444,22 @@ def _knob(name):
     return os.environ.get(name, "1") != "0"
 
 
+def _force():
+    import os
+
+    return os.environ.get("VCT_STARVED_FORCE") == "1"
+
+
+def _fwd_wins(k, cin, cout):
+    """Per-shape-class forward choice, measured on v5e (slope-corrected,
+    experiments/starved_fused_bench.py): the Pallas fwd wins 2.0-2.3x on
+    U4/tail but LOSES (0.79x) on the cin=3 head — the c_p=8 sublane pad
+    wastes 2.7x of the matmul K and the 3-row slab assembly is pure VPU
+    overhead. XLA's plain zero-pad fwd conv is fine there; only its
+    *gradient* convs are catastrophic, so the bwd stays Pallas."""
+    return cin >= 8 or _force()
+
+
 def _to_nhwc(x_cm):
     return jnp.transpose(x_cm, (0, 1, 3, 2))
 
@@ -451,7 +469,11 @@ def _to_cm(x):
 
 
 def _fwd_impl_cm(x_cm, w):
-    if not _knob("VCT_STARVED_FWD"):
+    k, _, cin, cout = w.shape
+    if not (_knob("VCT_STARVED_FWD") and _fwd_wins(k, cin, cout)):
+        # XLA forward (head-class shapes): the boundary transposes cancel
+        # against the NHWC wrapper's at HLO level, leaving a plain NHWC
+        # conv; the custom_vjp still routes the backward to Pallas.
         return _to_cm(reflect_conv(_to_nhwc(x_cm), w))
     return _conv_dispatch_cm(x_cm, w, pad_mode="reflect")
 
@@ -486,16 +508,74 @@ def _reflect_fold_cm(gp, pad):
     ], axis=3)
 
 
+def _full_corr_cm(s_cm, w):
+    """Zero-padded full correlation (pad k-1 both dims) of a small
+    channel-major strip via XLA; returns channel-major."""
+    k = w.shape[0]
+    y = jax.lax.conv_general_dilated(
+        _to_nhwc(s_cm), w, (1, 1), [(k - 1, k - 1), (k - 1, k - 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return _to_cm(y)
+
+
+def _dx_with_border_fold(g_cm, wrot, p):
+    """dx of the reflect-SAME conv: one zero_same Pallas conv (the fold's
+    interior) + O(p)-wide XLA strip corrections for the mirror borders.
+
+    Mathematically identical to `_reflect_fold_cm(full_corr(g))` (the
+    oracle, kept for tests) but never materializes the (H+2p, W+2p)
+    correlation in HBM and replaces the fold's two full-tensor concat
+    copies — profiled at ~25 ms/step of slice/concat/gather on the
+    flagship — with strip convs and 6 small in-place adds.
+
+    Derivation: with A = full_corr(g) (rows/cols in padded coords), the
+    reflect-pad adjoint is a row fold B[r] = A[r+p] + A[p-r]|r∈[1,p] +
+    A[2h+p-2-r]|r∈[h-p-1,h-2], then the same fold over columns of B.
+    The interior A[p:h+p, p:w+p] is exactly the zero-padded SAME conv;
+    every correction term lives in a p-wide strip of A.
+    """
+    n, h, c, w_ = g_cm.shape
+    core = _conv_dispatch_cm(g_cm, wrot, pad_mode="zero_same")
+    if p == 0:
+        return core
+    top = _full_corr_cm(g_cm[:, :p], wrot)[:, :p]          # A[0:p]
+    bot = _full_corr_cm(g_cm[:, h - p:], wrot)[:, 2 * p:]  # A[h+p:h+2p]
+    left = _full_corr_cm(g_cm[..., :p], wrot)[..., :p]     # A[:, 0:p]
+    right = _full_corr_cm(g_cm[..., w_ - p:], wrot)[..., 2 * p:]
+    rtop = top[:, ::-1]     # rtop[i] = A[p-1-i]: row r=1+i adds A[p-r]
+    rbot = bot[:, ::-1]     # rbot[i] = A[h+2p-1-i]: row h-p-1+i adds it
+    def _row_fold(t, fix_t, fix_b):
+        # NOT .at[].add — that lowers to scatter-add (profiled at
+        # 5 ms/site); concat assembly is one fused copy.
+        return jnp.concatenate([
+            t[:, 0:1],
+            t[:, 1:p + 1] + fix_t,
+            t[:, p + 1:h - p - 1],
+            t[:, h - p - 1:h - 1] + fix_b,
+            t[:, h - 1:h],
+        ], axis=1)
+
+    out = _row_fold(core, rtop[..., p:p + w_], rbot[..., p:p + w_])
+    # column fold acts on the ROW-FOLDED tensor: fold rows into the
+    # full-height col strips first (corner terms), then mirror columns.
+    lB = _row_fold(left[:, p:h + p], rtop[..., :p], rbot[..., :p])
+    rB = _row_fold(right[:, p:h + p], rtop[..., p + w_:],
+                   rbot[..., p + w_:])
+    return jnp.concatenate([
+        out[..., 0:1],
+        out[..., 1:p + 1] + lB[..., ::-1],
+        out[..., p + 1:w_ - p - 1],
+        out[..., w_ - p - 1:w_ - 1] + rB[..., ::-1],
+        out[..., w_ - 1:w_],
+    ], axis=3)
+
+
 def _bwd_impl_cm(res, g_cm):
     x_cm, w = res
     k = w.shape[0]
     pad = k // 2
     cin, cout = w.shape[2], w.shape[3]
     g_cm = g_cm.astype(x_cm.dtype)
-    if not _knob("VCT_STARVED_FWD"):
-        _, vjp = jax.vjp(reflect_conv, _to_nhwc(x_cm), w)
-        dxn, dw = vjp(_to_nhwc(g_cm))
-        return _to_cm(dxn), dw
     dx_on, dw_on = _knob("VCT_STARVED_DX"), _knob("VCT_STARVED_DW")
     dxa = dwa = None
     if not (dx_on and dw_on):
@@ -504,10 +584,9 @@ def _bwd_impl_cm(res, g_cm):
         dxn, dwa = vjp(_to_nhwc(g_cm))
         dxa = _to_cm(dxn)
     if dx_on:
-        # dx: full-size gradient conv then reflect-pad adjoint fold
+        # dx: zero_same gradient conv with in-strip reflect-adjoint fold
         wrot = w[::-1, ::-1].transpose(0, 1, 3, 2)  # (k, k, cout, cin)
-        dx = _reflect_fold_cm(
-            _conv_dispatch_cm(g_cm, wrot, pad_mode="zero"), pad)
+        dx = _dx_with_border_fold(g_cm, wrot, pad)
     else:
         dx = dxa
     if dw_on:
