@@ -85,6 +85,13 @@ class ReflectConv(nn.Module):
     hand tensors over in the kernels' native layout, eliding two
     200 MB-class boundary transposes per generator pass; when the Pallas
     path does not engage, explicit transposes preserve the contract.
+
+    resample: 'down2' / 'up2' absorb the D/U blocks' PixelUnshuffle /
+    PixelShuffle into the conv itself (`ops.block_conv` equivalences —
+    no shuffle copies); the caller passes the PRE-shuffle tensor and the
+    stored weight layout is unchanged. Falls back to the literal
+    shuffle+conv lowering when the form is gated off or the shape is too
+    small for the mirror borders.
     """
 
     features: int
@@ -96,9 +103,11 @@ class ReflectConv(nn.Module):
     dtype: Optional[Dtype] = None
     cm_in: bool = False
     cm_out: bool = False
+    resample: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from vae_cyclegan_tpu.ops import block_conv
         from vae_cyclegan_tpu.ops.starved_conv import (
             _starved_conv_cm,
             _to_cm,
@@ -113,6 +122,10 @@ class ReflectConv(nn.Module):
         else:
             nhwc_shape = x.shape
         cin = nhwc_shape[-1]
+        if self.resample == "down2":
+            cin = 4 * cin
+        elif self.resample == "up2":
+            cin = cin // 4
         kernel, bias = _ConvParams(
             self.features,
             self.kernel_size,
@@ -123,6 +136,20 @@ class ReflectConv(nn.Module):
         dtype = self.dtype or x.dtype
         xc = x.astype(dtype)
         kc = kernel.astype(dtype)
+        if self.resample == "down2":
+            if block_conv.down2_applicable(xc.shape):
+                y = block_conv.down2_conv(xc, kc)
+                if self.cm_out:
+                    y = _to_cm(y)
+                return _bias(y, bias, self.cm_out)
+            xc = pixel_unshuffle(xc, 2)
+            nhwc_shape = xc.shape
+        elif self.resample == "up2":
+            if block_conv.up2_applicable(xc.shape):
+                y = block_conv.up2_conv(xc, kc, cm_out=self.cm_out)
+                return _bias(y, bias, self.cm_out)
+            xc = pixel_shuffle(xc, 2)
+            nhwc_shape = xc.shape
         same = self.stride == 1 and self.padding == self.kernel_size // 2
         if same and cm_engaged(nhwc_shape, kc.shape, dtype):
             xt = xc if self.cm_in else _to_cm(xc)
@@ -142,10 +169,14 @@ class ReflectConv(nn.Module):
             if self.cm_out:
                 y = _to_cm(y)
             cm_y = self.cm_out
-        if bias is not None:
-            b = bias.astype(y.dtype)
-            y = y + (b[:, None] if cm_y else b)
+        return _bias(y, bias, cm_y)
+
+
+def _bias(y, bias, cm):
+    if bias is None:
         return y
+    b = bias.astype(y.dtype)
+    return y + (b[:, None] if cm else b)
 
 
 class CaSb(nn.Module):
@@ -198,8 +229,8 @@ class DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = pixel_unshuffle(x, 2)
-        x = ReflectConv(self.features, 3, 1, 1, dtype=self.dtype)(x)
+        x = ReflectConv(self.features, 3, 1, 1, dtype=self.dtype,
+                        resample="down2")(x)
         return instance_norm_act(x, act="relu", order="act_norm", use_pallas=self.use_pallas)
 
 
@@ -238,9 +269,8 @@ class UBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = pixel_shuffle(x, 2)
         x = ReflectConv(self.features, 3, 1, 1, dtype=self.dtype,
-                        cm_out=self.cm_out)(x)
+                        cm_out=self.cm_out, resample="up2")(x)
         return instance_norm_act(x, act="relu", order="act_norm",
                                  use_pallas=self.use_pallas,
                                  channel_major=self.cm_out)
