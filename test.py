@@ -284,6 +284,21 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
                 summary["ssim_to_target"][name] = ssim_sums[name] / n_s
             save_model_grid(name, grids[name], out_dir / f"grid_{name}.png")
 
+        if getattr(args, "fid", False) and summary["num_samples"]:
+            # beyond parity: FID of each model's outputs vs the targets
+            # (fid.py: Flax InceptionV3 + imported torchvision weights)
+            from vae_cyclegan_tpu.utils import fid as fid_mod
+
+            variables = fid_mod.load_torch_inception(args.fid_weights)
+            feature_fn = fid_mod.make_feature_fn(variables)
+            targets = [row["y"] for row in next(iter(grids.values()))]
+            summary["fid_to_target"] = {
+                name: fid_mod.fid_score(
+                    [row["Gx"] for row in grids[name]], targets, feature_fn
+                )
+                for name in models
+            }
+
         with open(out_dir / "summary.json", "w") as f:
             json.dump(summary, f, indent=2)
         print(f"  wrote {summary['num_samples']} comparison figures + "
@@ -311,10 +326,21 @@ if __name__ == "__main__":
     parser.add_argument("--output_dir", type=str, default="test_results")
     parser.add_argument("--num_samples", type=int, default=8,
                         help="Test samples per comparison group")
+    parser.add_argument("--fid", action="store_true",
+                        help="also report FID vs targets (needs "
+                             "--fid_weights)")
+    parser.add_argument("--fid_weights", type=str, default=None,
+                        help="torchvision inception_v3 state_dict (.pth) "
+                             "or .npz with the same keys; FID matches "
+                             "standard pytorch-fid scoring when given the "
+                             "ImageNet checkpoint")
     parser.add_argument("--platform", type=str, default=None,
                         help="Force a JAX backend (e.g. cpu, tpu); wins over "
                              "environment-injected platform plugins")
     _args = parser.parse_args()
+    if _args.fid and not _args.fid_weights:
+        parser.error("--fid requires --fid_weights (torchvision "
+                     "inception_v3 checkpoint; not bundled)")
     if _args.platform:
         jax.config.update("jax_platforms", _args.platform)
     evaluate_models(_args)

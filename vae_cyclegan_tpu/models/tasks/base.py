@@ -82,6 +82,10 @@ class Task:
 
         finite = jnp.isfinite(loss)
 
+        # lax.cond (not a branch-free masked select): the cond lets XLA
+        # alias the skip branch to the donated input buffers, while a
+        # tree-wide jnp.where(finite, new, old) materializes both trees —
+        # measured 62-64 img/s (select) vs ~65.6 (cond) on the flagship.
         def _apply(_):
             updates, new_opt = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), new_opt
