@@ -145,7 +145,7 @@ class ReflectConv(nn.Module):
             xc = pixel_unshuffle(xc, 2)
             nhwc_shape = xc.shape
         elif self.resample == "up2":
-            if block_conv.up2_applicable(xc.shape):
+            if block_conv.up2_applicable(xc.shape, self.cm_out):
                 y = block_conv.up2_conv(xc, kc, cm_out=self.cm_out)
                 return _bias(y, bias, self.cm_out)
             xc = pixel_shuffle(xc, 2)

@@ -52,13 +52,13 @@ import numpy as np
 
 def forms_enabled(direction: str) -> bool:
     """Env gate: VCT_BLOCK_FORMS=0/1 masters both directions;
-    VCT_BLOCK_FORMS_DOWN / VCT_BLOCK_FORMS_UP override per direction.
+    VCT_BLOCK_FORMS_DOWN / VCT_BLOCK_FORMS_UP override per direction
+    (the UP knob also accepts 'cm'/'nocm', see `up2_applicable`).
     Defaults reflect the composed-step A/B on v5e (bench.py,
     BENCH_ARCH=autoencoder): the down2 form wins (D sites have no Pallas
     path to displace) and ships ON; the up2 form loses end-to-end —
     its output interleave re-introduces the transpose the isolated
-    layer bench doesn't see, and it bypasses the faster starved-conv
-    channel-major U4 chain — so it ships OFF."""
+    layer bench doesn't see — so it ships OFF."""
     master = os.environ.get("VCT_BLOCK_FORMS")
     default = {"down": "1", "up": "0"}[direction] if master is None else master
     return os.environ.get(f"VCT_BLOCK_FORMS_{direction.upper()}", default) != "0"
@@ -174,9 +174,16 @@ def _mirror_pad_coarse(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([left, x, right], axis=2)
 
 
-def up2_applicable(coarse_shape) -> bool:
+def up2_applicable(coarse_shape, cm_out: bool = False) -> bool:
+    """cm_out identifies the U4 site feeding the channel-major tail
+    chain; VCT_BLOCK_FORMS_UP accepts 0/1 plus 'cm' (only that site)
+    and 'nocm' (every other site) for A/B isolation."""
     _, hc, wc, c4 = coarse_shape
-    return forms_enabled("up") and hc >= 2 and wc >= 2 and c4 % 4 == 0
+    mode = os.environ.get(
+        "VCT_BLOCK_FORMS_UP", os.environ.get("VCT_BLOCK_FORMS", "0"))
+    on = {"0": False, "1": True,
+          "cm": cm_out, "nocm": not cm_out}.get(mode, False)
+    return on and hc >= 2 and wc >= 2 and c4 % 4 == 0
 
 
 def up2_conv(
