@@ -25,6 +25,7 @@ backward pass, so a handwritten backward kernel buys little).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable
 
 import jax
@@ -385,6 +386,9 @@ def instance_norm_act(
         # single-pass: whole (H*W, C) slab resident in VMEM
         return _fused_tpu(x, act, order, eps)
     if _on_tpu():
+        if os.environ.get("VCT_IN_TILED") == "1" and _HAS_PLTPU:
+            # A/B knob: two-pass tiled Pallas fwd on the big slabs
+            return _fused_tpu_tiled(x, act, order, eps)
         # big-spatial slabs: XLA forward, controlled analytic backward
         return _fused_xla(x, act, order, eps, (1, 2))
     return _fused_reference(x, act, order, eps)

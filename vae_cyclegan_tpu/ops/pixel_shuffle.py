@@ -13,11 +13,13 @@ up with the reference architecture diagrams.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
-def pixel_unshuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H/f, W/f, C*f*f)."""
+def _unshuffle_impl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     b, h, w, c = x.shape
     f = factor
     x = x.reshape(b, h // f, f, w // f, f, c)
@@ -26,11 +28,42 @@ def pixel_unshuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return x.reshape(b, h // f, w // f, c * f * f)
 
 
-def pixel_shuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """(B, H, W, C) -> (B, H*f, W*f, C/(f*f))."""
+def _shuffle_impl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     b, h, w, c = x.shape
     f = factor
     cout = c // (f * f)
     x = x.reshape(b, h, w, cout, f, f)
     x = x.transpose(0, 1, 4, 2, 5, 3)
     return x.reshape(b, h * f, w * f, cout)
+
+
+# The adjoints run behind an optimization barrier: when the downstream
+# consumer is a float32 computation (the InstanceNorm backward), XLA
+# hoists its bf16->f32 convert across the adjoint's 6-D transpose, so
+# the shuffle copy runs at double width (profiled: ~12 ms/step of
+# f32[24,256,256,32]-class copies on the flagship). The barrier pins the
+# transpose to the cotangent's own dtype.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pixel_unshuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/f, W/f, C*f*f)."""
+    return _unshuffle_impl(x, factor)
+
+
+pixel_unshuffle.defvjp(
+    lambda x, f: (_unshuffle_impl(x, f), None),
+    lambda f, _, g: (_shuffle_impl(jax.lax.optimization_barrier(g), f),),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def pixel_shuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H*f, W*f, C/(f*f))."""
+    return _shuffle_impl(x, factor)
+
+
+pixel_shuffle.defvjp(
+    lambda x, f: (_shuffle_impl(x, f), None),
+    lambda f, _, g: (_unshuffle_impl(jax.lax.optimization_barrier(g), f),),
+)
