@@ -103,7 +103,13 @@ def down2_applicable(fine_shape) -> bool:
 
 def down2_conv(x: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
     """== reflect_conv(pixel_unshuffle(x, 2), w3); x fine NHWC,
-    w3 (3, 3, 4c, f)."""
+    w3 (3, 3, 4c, f).
+
+    The backward stays on XLA autodiff deliberately: a custom VJP
+    computing dx in the coarse (unshuffled) domain — dense k3 full
+    correlation + reflect fold + bf16 pixel-shuffle — measured 61.4 vs
+    65.9 img/s on the flagship (round 3), losing to XLA's input-dilated
+    ReverseInput fusion of the w6/stride-2 form."""
     return _conv(_coarse_mirror2(x), _w6_from_w3(w3).astype(x.dtype), (2, 2))
 
 
