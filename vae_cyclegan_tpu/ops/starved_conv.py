@@ -460,12 +460,38 @@ def _fwd_wins(k, cin, cout):
     return cin >= 8 or _force()
 
 
+# The cm<->NHWC handover transposes pin their adjoints to the cotangent's
+# own dtype (same disease as the pixel-shuffle VJPs, ops/pixel_shuffle.py):
+# the IN backward computes in f32 and XLA hoists its bf16->f32 convert
+# across the adjoint transpose, running the 200 MB-class layout copies at
+# double width (profiled: 4x 1.76 ms f32[24,256,256,64] + 4x 1.57 ms
+# f32[24,256,256,32] flips per flagship step).
+
+
+def _swap_wc(t):
+    return jnp.transpose(t, (0, 1, 3, 2))
+
+
+@jax.custom_vjp
 def _to_nhwc(x_cm):
-    return jnp.transpose(x_cm, (0, 1, 3, 2))
+    return _swap_wc(x_cm)
 
 
+_to_nhwc.defvjp(
+    lambda x_cm: (_swap_wc(x_cm), None),
+    lambda _, g: (_swap_wc(jax.lax.optimization_barrier(g)),),
+)
+
+
+@jax.custom_vjp
 def _to_cm(x):
-    return jnp.transpose(x, (0, 1, 3, 2))
+    return _swap_wc(x)
+
+
+_to_cm.defvjp(
+    lambda x: (_swap_wc(x), None),
+    lambda _, g: (_swap_wc(jax.lax.optimization_barrier(g)),),
+)
 
 
 def _fwd_impl_cm(x_cm, w):
