@@ -143,6 +143,24 @@ def test_pixel_shuffle_roundtrip(rng):
     )
 
 
+def test_pixel_shuffle_custom_vjp_is_exact_inverse(rng):
+    """The dtype-pinned adjoints are exactly the opposite shuffle of the
+    cotangent (shuffles are permutations), in the cotangent's own dtype."""
+    for fwd, inv, shape in [
+        (pixel_shuffle, pixel_unshuffle, (2, 4, 4, 12)),
+        (pixel_unshuffle, pixel_shuffle, (2, 8, 8, 3)),
+    ]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        y, vjp = jax.vjp(lambda v: fwd(v, 2), x)
+        g = jnp.asarray(rng.randn(*y.shape).astype(np.float32))
+        (dx,) = vjp(g)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(inv(g, 2)),
+                                   atol=0)
+        _, vjp16 = jax.vjp(lambda v: fwd(v, 2), x.astype(jnp.bfloat16))
+        (dx16,) = vjp16(g.astype(jnp.bfloat16))
+        assert dx16.dtype == jnp.bfloat16
+
+
 def test_reflect_pad_matches_torch(rng):
     x = rng.randn(1, 5, 5, 2).astype(np.float32)
     ours = np.asarray(reflect_pad(jnp.asarray(x), 2))
