@@ -286,8 +286,20 @@ _fused_tpu_tiled.defvjp(_fused_tpu_tiled_fwd, _fused_tpu_bwd)
 
 
 def _stats(h: jnp.ndarray, eps: float, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-pass moments: mean and E[x^2] are two reduces over the SAME
+    input, which XLA multi-output-fuses into one HBM read — the two-pass
+    centered form reads the slab twice (the stat passes profiled at
+    ~43 ms/step across the flagship's ~100 IN sites). f32 accumulation
+    over <=65k elements keeps the E[x^2]-mu^2 cancellation well inside
+    the reference-parity band; VCT_IN_TWOPASS=1 restores the centered
+    form for A/B."""
+    if os.environ.get("VCT_IN_TWOPASS") == "1":
+        mu = jnp.mean(h, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(h - mu), axis=axes, keepdims=True)
+        return mu, jax.lax.rsqrt(var + eps)
     mu = jnp.mean(h, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(h - mu), axis=axes, keepdims=True)
+    m2 = jnp.mean(jnp.square(h), axis=axes, keepdims=True)
+    var = jnp.maximum(m2 - jnp.square(mu), 0.0)
     return mu, jax.lax.rsqrt(var + eps)
 
 
