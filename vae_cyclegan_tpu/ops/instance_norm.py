@@ -291,8 +291,9 @@ def _stats(h: jnp.ndarray, eps: float, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
     centered form reads the slab twice (the stat passes profiled at
     ~43 ms/step across the flagship's ~100 IN sites). f32 accumulation
     over <=65k elements keeps the E[x^2]-mu^2 cancellation well inside
-    the reference-parity band; VCT_IN_TWOPASS=1 restores the centered
-    form for A/B."""
+    the reference-parity band (measured rsqrt rel-err 5e-4 even at an
+    extreme mu/sigma=100, vs bf16's own ~4e-3 activation quantization);
+    VCT_IN_TWOPASS=1 restores the centered form for A/B."""
     if os.environ.get("VCT_IN_TWOPASS") == "1":
         mu = jnp.mean(h, axis=axes, keepdims=True)
         var = jnp.mean(jnp.square(h - mu), axis=axes, keepdims=True)
