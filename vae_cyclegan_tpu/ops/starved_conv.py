@@ -188,12 +188,18 @@ def _row_ref_order(k, p):
 
 
 def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, out_w,
-                 reflect, h, chunks, dtype):
+                 reflect, h, chunks, dtype, epilogue=False):
     main_ref = refs[0]
     row_refs = refs[1:k]
     w_ref = refs[k]
-    o_ref = refs[k + 1]
-    S = refs[k + 2]
+    if epilogue:
+        b_ref = refs[k + 1]
+        o_ref = refs[k + 2]
+        st_ref = refs[k + 3]
+        S = refs[k + 4]
+    else:
+        o_ref = refs[k + 1]
+        S = refs[k + 2]
 
     _assemble_slab(S, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in, wp=wp,
                    c=c, reflect=reflect, h=h, chunks=chunks)
@@ -204,7 +210,7 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, out_w,
     # vectors with mismatched lane offsets); K = k_dy*c_p, M stacks
     # (dx, co_p) groups up to 128 so even cout=3 runs a 56-row dot
     # (co_p-padded) and the tap fold is only k lane-sliced adds.
-    P_ref = refs[k + 3]
+    P_ref = refs[-1]
     for dy in range(k):
         P_ref[dy * c_p:(dy + 1) * c_p, :] = S[0:c_p, dy * wp:dy * wp + Lp]
     P = P_ref[...]
@@ -219,7 +225,29 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, out_w,
         for t in range(gc):
             dx = g0 + t
             acc = acc + z[t * co_p:(t + 1) * co_p, dx:dx + L]
-    accb = acc.astype(dtype)
+    if epilogue:
+        # bias + ReLU + per-channel sum/sumsq accumulated into the tiny
+        # second output: removes the downstream XLA stat pass's full
+        # re-read of the conv output (the IN normalize still reads it).
+        acc = acc + b_ref[...]
+        accb = jnp.maximum(acc.astype(dtype), 0)
+        tf = accb.astype(jnp.float32)
+        s1 = jnp.zeros((co_p, 1), jnp.float32)
+        s2 = jnp.zeros((co_p, 1), jnp.float32)
+        for r in range(R):
+            sl = tf[0:co_p, r * wp:r * wp + out_w]
+            s1 = s1 + jnp.sum(sl, axis=1, keepdims=True)
+            s2 = s2 + jnp.sum(sl * sl, axis=1, keepdims=True)
+        st = jnp.concatenate(
+            [jnp.transpose(s1), jnp.transpose(s2)], axis=0)  # (2, co_p)
+
+        @pl.when(pl.program_id(0) % chunks == 0)
+        def _():
+            st_ref[0] = jnp.zeros((2, co_p), jnp.float32)
+
+        st_ref[0] = st_ref[0] + st
+    else:
+        accb = acc.astype(dtype)
     for r in range(R):
         o_ref[0, r] = accb[0:cout, r * wp:r * wp + out_w]
 
@@ -238,8 +266,13 @@ def _conv_vmem_estimate(*, k, R, wp, c_p, cout, co_p, w_in, c,
     return slab + blocks + 2 * acc + patch + z
 
 
-def _conv_call(x, w_packed, *, k, p, cin, cout, reflect):
-    """x: channel-major (N, H, C, W); returns (N, OH, CO, OW)."""
+def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
+    """x: channel-major (N, H, C, W); returns (N, OH, CO, OW).
+
+    With `bias` (a (co_p, 1) f32 array), runs the fused epilogue —
+    bias + ReLU + per-(n, cout) sum/sumsq — and returns
+    (y, stats (N, 2, co_p) f32). Reflect mode only (the epilogue's stat
+    accumulation assumes every output row is a real row)."""
     n, h, _, w_in = x.shape
     c_p = _rup(max(cin, 1), 8)
     co_p = _rup(cout, 8)
@@ -269,20 +302,31 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect):
     kern = functools.partial(
         _conv_kernel, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
         cout=cout, co_p=co_p, out_w=out_w, reflect=reflect, h=h,
-        chunks=chunks, dtype=x.dtype)
+        chunks=chunks, dtype=x.dtype, epilogue=bias is not None)
+    y_spec = pl.BlockSpec(
+        (1, R, cout, out_w), lambda s: (s // chunks, s % chunks, 0, 0),
+        memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((n, out_h, cout, out_w), x.dtype)
+    scratch = [
+        pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype),
+        pltpu.VMEM((k * c_p, R * wp + k - 1), x.dtype),
+    ]
+    if bias is None:
+        return _pallas(
+            kern, grid=(steps,), in_specs=specs, out_specs=y_spec,
+            out_shape=y_shape, scratch_shapes=scratch,
+        )(*([x] * k), w_packed)
+    assert reflect, "epilogue stats assume reflect (full) output rows"
+    specs.append(pl.BlockSpec((co_p, 1), lambda s: (0, 0),
+                              memory_space=pltpu.VMEM))
+    st_spec = pl.BlockSpec((1, 2, co_p), lambda s: (s // chunks, 0, 0),
+                           memory_space=pltpu.VMEM)
+    st_shape = jax.ShapeDtypeStruct((n, 2, co_p), jnp.float32)
     return _pallas(
-        kern,
-        grid=(steps,),
-        in_specs=specs,
-        out_specs=pl.BlockSpec(
-            (1, R, cout, out_w), lambda s: (s // chunks, s % chunks, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, out_h, cout, out_w), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype),
-            pltpu.VMEM((k * c_p, R * wp + k - 1), x.dtype),
-        ],
-    )(*([x] * k), w_packed)
+        kern, grid=(steps,), in_specs=specs,
+        out_specs=[y_spec, st_spec], out_shape=[y_shape, st_shape],
+        scratch_shapes=scratch,
+    )(*([x] * k), w_packed, bias)
 
 
 # ---------------------------------------------------------------------------
@@ -643,6 +687,76 @@ def _starved_conv(x, w):
     VJP flows through the cm custom_vjp; transposes differentiate
     trivially)."""
     return _to_nhwc(_starved_conv_cm(_to_cm(x), w))
+
+
+# ---------------------------------------------------------------------------
+# fused conv + bias + ReLU + InstanceNorm (VERDICT r2 item 3: stats in the
+# conv epilogue) — the U4 -> IN(act_norm relu) site on the cm chain
+# ---------------------------------------------------------------------------
+
+_IN_EPS = 1e-5  # must match ops.instance_norm._EPS
+
+
+def _conv_relu_stats_cm(x_cm, w, b):
+    """One pallas call: reflect conv + bias + ReLU, emitting the IN
+    moment sums alongside. Returns (t_cm, mu (N,CO), r (N,CO))."""
+    k, _, cin, cout = w.shape
+    c_p = _rup(max(cin, 1), 8)
+    co_p = _rup(cout, 8)
+    wp = _pack_w(w, c_p, co_p).astype(x_cm.dtype)
+    bp = jnp.pad(b.astype(jnp.float32), (0, co_p - cout)).reshape(co_p, 1)
+    t, st = _conv_call(x_cm, wp, k=k, p=k // 2, cin=cin, cout=cout,
+                       reflect=True, bias=bp)
+    hw = t.shape[1] * t.shape[3]
+    mu = st[:, 0, :cout] / hw
+    var = jnp.maximum(st[:, 1, :cout] / hw - jnp.square(mu), 0.0)
+    return t, mu, jax.lax.rsqrt(var + _IN_EPS)
+
+
+@jax.custom_vjp
+def fused_conv_in_relu_cm(x_cm, w, b):
+    """(reflect conv -> +bias -> ReLU -> InstanceNorm) as one unit on
+    channel-major data: numerically the legacy
+    `instance_norm_act(conv(x)+b, act='relu', order='act_norm')` chain
+    (reference D/U pattern, Networks.py:94/129), but the moment sums
+    accumulate in the conv kernel's epilogue so the downstream stat
+    pass never re-reads the conv output from HBM."""
+    t, mu, r = _conv_relu_stats_cm(x_cm, w, b)
+    return ((t.astype(jnp.float32) - mu[:, None, :, None])
+            * r[:, None, :, None]).astype(t.dtype)
+
+
+def _fused_conv_in_fwd(x_cm, w, b):
+    t, mu, r = _conv_relu_stats_cm(x_cm, w, b)
+    y = ((t.astype(jnp.float32) - mu[:, None, :, None])
+         * r[:, None, :, None]).astype(t.dtype)
+    return y, (x_cm, w, b, t, mu, r)
+
+
+def _fused_conv_in_bwd(res, g):
+    # Chain of the two existing exact backwards: the analytic
+    # InstanceNorm(act_norm) VJP (ops/instance_norm.py:_fused_xla_bwd
+    # with h == t saved post-ReLU) into the reflect-conv VJP.
+    x_cm, w, b, t, mu, r = res
+    rb = r[:, None, :, None]
+    gf = g.astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+    t_hat = (tf - mu[:, None, :, None]) * rb
+    g_mean = jnp.mean(gf, axis=(1, 3), keepdims=True)
+    gh_mean = jnp.mean(gf * t_hat, axis=(1, 3), keepdims=True)
+    dt = rb * (gf - g_mean - t_hat * gh_mean) * (tf > 0)
+    db = jnp.sum(dt, axis=(0, 1, 3)).astype(b.dtype)
+    dx, dw = _bwd_impl_cm((x_cm, w), dt.astype(t.dtype))
+    return dx, dw, db
+
+
+fused_conv_in_relu_cm.defvjp(_fused_conv_in_fwd, _fused_conv_in_bwd)
+
+
+def epilogue_in_enabled() -> bool:
+    import os
+
+    return os.environ.get("VCT_EPILOGUE_IN", "1") != "0"
 
 
 def _supported(x_shape, w_shape, dtype) -> bool:
