@@ -253,7 +253,7 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, out_w,
 
 
 def _conv_vmem_estimate(*, k, R, wp, c_p, cout, co_p, w_in, c,
-                        out_w, itemsize):
+                        out_w, itemsize, epilogue=False):
     L = R * wp
     Lp = L + k - 1
     slab = c_p * ((R + k - 1) * wp + 128) * itemsize
@@ -263,7 +263,8 @@ def _conv_vmem_estimate(*, k, R, wp, c_p, cout, co_p, w_in, c,
     patch = k * c_p * Lp * itemsize
     g = max(1, min(k, 128 // max(co_p, 1)))
     z = g * co_p * Lp * 4
-    return slab + blocks + 2 * acc + patch + z
+    extra = (co_p * L * (4 + itemsize)) if epilogue else 0  # tf + accb
+    return slab + blocks + 2 * acc + patch + z + extra
 
 
 def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
@@ -283,7 +284,8 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
     R = 16
     while R > 4 and _conv_vmem_estimate(
             k=k, R=R, wp=wp, c_p=c_p, cout=cout, co_p=co_p,
-            w_in=w_in, c=cin, out_w=out_w, itemsize=itemsize) > 10 * 2 ** 20:
+            w_in=w_in, c=cin, out_w=out_w, itemsize=itemsize,
+            epilogue=bias is not None) > 10 * 2 ** 20:
         R //= 2
     # Reflect mode has no in-kernel row masking, so the main block may
     # not run past the input: R must divide h (h % 8 == 0 per
