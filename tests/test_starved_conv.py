@@ -225,6 +225,13 @@ def test_fused_conv_in_relu_matches_legacy_chain():
         np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
                                    atol=5e-4, err_msg=name)
 
+    # bf16 data path (production dtype): values track the f32 oracle to
+    # bf16 resolution
+    got16 = fused(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), b)
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32), np.asarray(want), atol=0.05)
+
 
 def test_ublock_fused_path_matches_legacy(monkeypatch):
     """UBlock with cm_out (the U4 site) must produce the same values and
