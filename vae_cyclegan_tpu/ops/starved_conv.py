@@ -756,9 +756,15 @@ fused_conv_in_relu_cm.defvjp(_fused_conv_in_fwd, _fused_conv_in_bwd)
 
 
 def epilogue_in_enabled() -> bool:
+    """Default OFF until the kernel variant is compiled+measured on real
+    TPU hardware (the tunnel backend was down for the whole tail of
+    round 3): correctness is interpret-mode proven, but an unproven
+    Mosaic lowering must not gate the default bench path. Flip with
+    VCT_EPILOGUE_IN=1; expected ~+0.3-0.5 img/s on the flagship (one
+    200MB stat read removed per U4 site x 6)."""
     import os
 
-    return os.environ.get("VCT_EPILOGUE_IN", "1") != "0"
+    return os.environ.get("VCT_EPILOGUE_IN", "0") == "1"
 
 
 def _supported(x_shape, w_shape, dtype) -> bool:
