@@ -91,6 +91,80 @@ def test_dp_step_matches_single_device(name):
         )
 
 
+def test_spatial_mesh_layouts():
+    """2-D ('data', 'spatial') mesh: batch dim on 'data', height on
+    'spatial'; non-divisible heights fall back to spatial replication
+    with their own loud one-time warning."""
+    import warnings as _warnings
+
+    from vae_cyclegan_tpu.parallel import mesh as mesh_mod
+    from vae_cyclegan_tpu.parallel import spatial_size
+
+    mesh = make_mesh(8, spatial=4)
+    assert dict(mesh.shape) == {"data": 2, "spatial": 4}
+    assert spatial_size(mesh) == 4
+    placed = shard_batch({"x": np.ones((4, 32, 32, 3), np.float32)}, mesh)
+    assert placed["x"].sharding == batch_sharding(mesh)
+
+    mesh_mod._warned_replicated_spatial = False
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        odd_h = shard_batch({"x": np.ones((4, 30, 30, 3), np.float32)}, mesh)
+        shard_batch({"x": np.ones((4, 30, 30, 3), np.float32)}, mesh)
+    # batch stays data-sharded; only the spatial axis is forfeited
+    assert not odd_h["x"].sharding.is_fully_replicated
+    warned = [w for w in caught if issubclass(w.category, RuntimeWarning)
+              and "spatial" in str(w.message)]
+    assert len(warned) == 1
+    with pytest.raises(ValueError, match="does not divide"):
+        make_mesh(8, spatial=3)
+
+    # the train driver's programmatic Pallas kill switch for SP runs
+    # (pallas_call has no SPMD partitioning rule)
+    from vae_cyclegan_tpu.ops import starved_conv as sc
+
+    try:
+        sc.set_enabled(False)
+        assert not sc.use_starved_conv()
+    finally:
+        sc.set_enabled(True)
+
+
+@pytest.mark.parametrize("name", ["autoencoder", "vae"])
+def test_spatial_step_matches_single_device(name):
+    """One train step on a 2-data x 4-spatial mesh == the single-device
+    step: GSPMD's halo exchanges (convs) and moment all-reduces
+    (InstanceNorm, losses) must reproduce the unsharded math. This is the
+    conv-model analog of sequence parallelism (SURVEY §5: the scaling
+    axis is spatial)."""
+    task = create_task(name, model=MC)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+    batch_np = {
+        "x": np.asarray(jax.random.uniform(k1, (4, 32, 32, 3))),
+        "y": np.asarray(jax.random.uniform(k2, (4, 32, 32, 3))),
+    }
+
+    state0 = task.init_state(jax.random.PRNGKey(0))
+    step = jax.jit(task.train_step)
+
+    single_batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    s1, m1 = step(state0, single_batch)
+
+    mesh = make_mesh(8, spatial=4)
+    state_r = replicate_state(task.init_state(jax.random.PRNGKey(0)), mesh)
+    sharded = shard_batch(batch_np, mesh)
+    s8, m8 = step(state_r, sharded)
+
+    assert float(m1["G_loss"]) == pytest.approx(float(m8["G_loss"]), rel=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params),
+        jax.tree_util.tree_leaves(s8.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=0
+        )
+
+
 def test_engine_epoch_on_mesh():
     """Engine runs a full epoch on the virtual mesh with mixed batch sizes."""
     import random as pyrandom

@@ -9,7 +9,9 @@ and checkpoint cadence — plus:
                   SURVEY.md §2.5)
   --base_width   (scale the backbone; reference hardcodes 64)
   --precision    (bf16 compute path for TPU; default float32)
-  --num_devices  (data-parallel mesh size; default all local devices)
+  --num_devices  (mesh size; default all local devices)
+  --spatial      (spatial-parallel axis: shard image height across devices;
+                  GSPMD inserts conv halos + moment all-reduces)
   --remat        (rematerialize generator forwards to fit HBM)
 """
 
@@ -156,7 +158,11 @@ def build_task(args):
         latent_dim=args.latent_dim,
         base_width=args.base_width,
         dtype=jnp.bfloat16 if args.precision == "bf16" else jnp.float32,
-        use_pallas=False if args.no_pallas else None,
+        # Pallas kernels have no SPMD partitioning rule: with a spatial
+        # axis the step must stay pure-XLA so GSPMD can insert the conv
+        # halo exchanges / moment all-reduces itself.
+        use_pallas=False if (args.no_pallas
+                             or getattr(args, "spatial", 1) > 1) else None,
         remat=args.remat,
     )
     oc = OptimConfig(lr=args.lr)
@@ -299,8 +305,19 @@ def main(args):
 
     # Task + mesh + engine
     task = build_task(args)
-    mesh = make_mesh(args.num_devices)
-    print(f"Data-parallel mesh: {mesh.devices.size} device(s)")
+    mesh = make_mesh(args.num_devices, spatial=getattr(args, "spatial", 1))
+    if getattr(args, "spatial", 1) > 1:
+        # pallas_call has no SPMD partitioning rule: the whole step must
+        # lower pure-XLA so GSPMD can insert the halo exchanges (the IN
+        # kernels are already off via use_pallas=False in build_task).
+        from vae_cyclegan_tpu.ops import starved_conv as _sc
+
+        _sc.set_enabled(False)
+        print(f"Mesh: {mesh.shape['data']} data x {mesh.shape['spatial']} "
+              f"spatial device(s) (Pallas kernels disabled under SPMD "
+              f"spatial partitioning)")
+    else:
+        print(f"Data-parallel mesh: {mesh.devices.size} device(s)")
     engine = Engine(task, mesh)
     state = engine.init_state(seed=args.seed)
 
@@ -474,7 +491,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--precision", choices=["float32", "bf16"],
                         default="float32")
     parser.add_argument("--num_devices", type=int, default=None,
-                        help="Data-parallel mesh size (default: all devices)")
+                        help="Mesh size (default: all devices)")
+    parser.add_argument("--spatial", type=int, default=1,
+                        help="Spatial-parallel axis size: shard the image "
+                             "height over this many devices per data-"
+                             "parallel replica (mesh becomes num_devices/"
+                             "spatial x spatial). GSPMD inserts the conv "
+                             "halo exchanges and InstanceNorm/loss moment "
+                             "all-reduces. For batches smaller than the "
+                             "mesh or resolutions that outgrow one chip's "
+                             "HBM; implies --no_pallas")
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize generator forwards (saves HBM)")
     parser.add_argument("--no_pallas", action="store_true",

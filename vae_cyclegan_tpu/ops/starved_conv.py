@@ -785,12 +785,26 @@ def _supported(x_shape, w_shape, dtype) -> bool:
     return True
 
 
+_DISABLED = False
+
+
+def set_enabled(value: bool) -> None:
+    """Process-wide programmatic gate, stronger than the env knobs. The
+    train driver turns the suite off under --spatial: pallas_call has no
+    SPMD partitioning rule, so a spatially sharded step must lower
+    pure-XLA for GSPMD to insert the conv halo exchanges."""
+    global _DISABLED
+    _DISABLED = not value
+
+
 def use_starved_conv() -> bool:
     """Default ON for TPU backends (VCT_STARVED_CONV=0 opts out): with
     the relayout fused into each conv call the round-2 pallas-boundary
     copies are gone and the kernels win end-to-end (see ROADMAP.md)."""
     import os
 
+    if _DISABLED:
+        return False
     env = os.environ.get("VCT_STARVED_CONV")
     if env is not None:
         return env == "1"

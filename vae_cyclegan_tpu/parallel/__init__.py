@@ -6,4 +6,5 @@ from vae_cyclegan_tpu.parallel.mesh import (
     shard_batch,
     batch_sharding,
     replicated_sharding,
+    spatial_size,
 )
