@@ -375,6 +375,13 @@ def main(args):
     print(f"Starting training for {args.epochs} epochs...")
     best_test_loss = float("inf")
 
+    # Preemption grace: TPU VMs deliver SIGTERM before eviction. First
+    # signal -> finish the in-flight step, save a resumable
+    # checkpoint_preempt/, exit 0; second signal aborts immediately.
+    from vae_cyclegan_tpu.utils.preempt import GracefulShutdown
+
+    stop = GracefulShutdown().install()
+
     for epoch in range(start_epoch, args.epochs):
         print(f"\nEpoch {epoch + 1}/{args.epochs}")
         train_loader.set_epoch(epoch)
@@ -382,11 +389,21 @@ def main(args):
         if profiling:
             jax.profiler.start_trace(args.profile_dir)
         state, train_loss, train_comps, _ = engine.train_epoch(
-            state, train_loader, progress=not args.quiet, epoch=epoch
+            state, train_loader, progress=not args.quiet, epoch=epoch,
+            should_stop=stop,
         )
         if profiling:
             jax.profiler.stop_trace()
             print(f"Profiler trace written to {args.profile_dir}")
+        if stop.requested:
+            # Save as epoch-1: --resume re-runs the interrupted epoch, so
+            # the epoch-indexed TB schema and save/best cadence stay exact.
+            save_checkpoint(state, epoch - 1, train_loss, vars(args),
+                            output_dir / "checkpoint_preempt")
+            writer.close()
+            print(f"Preemption checkpoint saved; resume with:\n  "
+                  f"--resume {output_dir / 'checkpoint_preempt'}")
+            return output_dir
         print(f"Train Loss: {train_loss:.4f}")
         for k, v in train_comps.items():
             print(f"  {k}: {v:.6f}")

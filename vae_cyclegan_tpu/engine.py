@@ -92,8 +92,16 @@ class Engine:
         loader,
         progress: bool = True,
         epoch: Optional[int] = None,
+        should_stop=None,
     ) -> Tuple[TrainState, float, Dict[str, float], Any]:
-        """Returns (state, avg_G_loss, avg_metric_components, last_batch)."""
+        """Returns (state, avg_G_loss, avg_metric_components, last_batch).
+
+        `should_stop`: optional zero-arg callable polled once per step
+        (after the step's dispatch); returning True ends the epoch early
+        with the partial averages. Used for preemption-graceful shutdown
+        (utils.preempt) — the caller checks its flag and saves a
+        resumable checkpoint.
+        """
         metric_sums: Dict[str, Any] = {}
         n_batches = 0
         last_batch = None
@@ -142,6 +150,8 @@ class Engine:
                         show_loss = False
             last_batch = device_batch
             batch, device_batch = nxt, next_device
+            if should_stop is not None and should_stop():
+                break
         elapsed = time.perf_counter() - t0
         if n_batches == 0:
             return state, float("nan"), {}, None

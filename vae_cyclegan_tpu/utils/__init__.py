@@ -9,3 +9,4 @@ from vae_cyclegan_tpu.utils.transfer import (
     load_pretrained_doubleae_to_cycle,
     load_pretrained_doublevae_to_cycle,
 )
+from vae_cyclegan_tpu.utils.preempt import GracefulShutdown
