@@ -27,6 +27,13 @@ REFERENCE_CPU_IMAGES_PER_SEC = 0.04589  # measured, see BASELINE.md
 
 
 def main() -> None:
+    if os.environ.get("BENCH_PLATFORM"):
+        # In-process backend selection that survives site customizations
+        # which pre-register a TPU plugin and clobber JAX_PLATFORMS (same
+        # pattern as train.py --platform). Lets the harness smoke-test on
+        # cpu while the default stays the real device.
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     from vae_cyclegan_tpu.config import ModelConfig
     from vae_cyclegan_tpu.models.tasks import create_task
 
@@ -80,6 +87,10 @@ def main() -> None:
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / REFERENCE_CPU_IMAGES_PER_SEC, 1),
+        # BASELINE.json's second north-star number: G+D step time. p50 over
+        # the 3 async windows (per-step within a window is amortized — a
+        # per-step sync would add the ~28 ms tunnel RPC to every step).
+        "step_time_ms_p50": round(1000.0 * batch / images_per_sec, 2),
     }
     if os.environ.get("BENCH_E2E", "1") != "0":
         try:
