@@ -33,6 +33,8 @@ def main() -> None:
         # pattern as train.py --platform). Lets the harness smoke-test on
         # cpu while the default stays the real device.
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    else:
+        _require_live_backend()
 
     from vae_cyclegan_tpu.config import ModelConfig
     from vae_cyclegan_tpu.models.tasks import create_task
@@ -115,6 +117,35 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["h2d_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
+
+
+def _require_live_backend(timeout: float = 300.0) -> None:
+    """Fail fast (exit 2, message on stderr, NO JSON on stdout) if the
+    default backend cannot even enumerate devices within `timeout`.
+
+    A wedged remote-tunnel backend HANGS device enumeration instead of
+    raising (observed: 25-minute stalls), which would make this harness
+    hang forever and its record ambiguous; a quick non-zero exit is
+    unambiguous. Probes in a subprocess so this process never touches a
+    dead backend. BENCH_PROBE_TIMEOUT overrides (seconds)."""
+    import subprocess
+
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", timeout))
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print('NDEV', len(jax.devices()))"],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        ok = any(line.startswith("NDEV ") and int(line.split()[1]) > 0
+                 for line in out.stdout.splitlines())
+        detail = (out.stderr or out.stdout).strip().splitlines()[-1:] or [""]
+    except subprocess.TimeoutExpired:
+        ok, detail = False, [f"device enumeration hung for {timeout:.0f}s"]
+    if not ok:
+        print(f"bench: backend unavailable — {detail[0]}", file=sys.stderr)
+        raise SystemExit(2)
 
 
 def _synthetic_hypersim_tree(td, batch: int) -> None:
