@@ -756,12 +756,14 @@ fused_conv_in_relu_cm.defvjp(_fused_conv_in_fwd, _fused_conv_in_bwd)
 
 
 def epilogue_in_enabled() -> bool:
-    """Default OFF until the kernel variant is compiled+measured on real
-    TPU hardware (the tunnel backend was down for the whole tail of
-    round 3): correctness is interpret-mode proven, but an unproven
-    Mosaic lowering must not gate the default bench path. Flip with
-    VCT_EPILOGUE_IN=1; expected ~+0.3-0.5 img/s on the flagship (one
-    200MB stat read removed per U4 site x 6)."""
+    """Default OFF — measured and rejected on v5e (round 3, after the
+    tunnel recovered): flagship 65.7 img/s with the epilogue fusion vs
+    66.7 without. The f32 stat accumulators in the conv kernel epilogue
+    cost more VMEM/pipeline overlap than the one stat read they remove;
+    XLA's conv-fused stats plus the single-pass-moment `_fused_xla`
+    backward stay the winning lowering for the U4->IN site. The unit is
+    kept correct and opt-in (VCT_EPILOGUE_IN=1) as the basis for future
+    shapes where the stat read dominates."""
     import os
 
     return os.environ.get("VCT_EPILOGUE_IN", "0") == "1"
