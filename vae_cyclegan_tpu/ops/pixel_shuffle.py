@@ -37,12 +37,15 @@ def _shuffle_impl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     return x.reshape(b, h * f, w * f, cout)
 
 
-# The adjoints run behind an optimization barrier: when the downstream
-# consumer is a float32 computation (the InstanceNorm backward), XLA
-# hoists its bf16->f32 convert across the adjoint's 6-D transpose, so
-# the shuffle copy runs at double width (profiled: ~12 ms/step of
-# f32[24,256,256,32]-class copies on the flagship). The barrier pins the
-# transpose to the cotangent's own dtype.
+# The adjoints run behind optimization barriers ON BOTH SIDES: when the
+# downstream consumer is a float32 computation (the InstanceNorm
+# backward), XLA hoists its bf16->f32 convert across the adjoint's 6-D
+# transpose, so the shuffle copy runs at double width (profiled: ~12
+# ms/step of f32[24,256,256,32]-class copies on the flagship). The input
+# barrier alone is not enough — XLA still sinks the consumer's convert
+# into the transpose it owns (profiled round 3: 8x ~1.4 ms
+# f32[24,128,128,32,2,2] transposes + bf16->f32 relayout copies at the
+# U4 shuffle sites) — so the output is pinned too.
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -51,9 +54,14 @@ def pixel_unshuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return _unshuffle_impl(x, factor)
 
 
+def _pinned(impl, f, _res, g):
+    out = impl(jax.lax.optimization_barrier(g), f)
+    return (jax.lax.optimization_barrier(out),)
+
+
 pixel_unshuffle.defvjp(
     lambda x, f: (_unshuffle_impl(x, f), None),
-    lambda f, _, g: (_shuffle_impl(jax.lax.optimization_barrier(g), f),),
+    functools.partial(_pinned, _shuffle_impl),
 )
 
 
@@ -65,5 +73,5 @@ def pixel_shuffle(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
 
 pixel_shuffle.defvjp(
     lambda x, f: (_shuffle_impl(x, f), None),
-    lambda f, _, g: (_unshuffle_impl(jax.lax.optimization_barrier(g), f),),
+    functools.partial(_pinned, _unshuffle_impl),
 )
