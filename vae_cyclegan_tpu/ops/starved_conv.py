@@ -187,7 +187,7 @@ def _row_ref_order(k, p):
 # ---------------------------------------------------------------------------
 
 
-def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, out_w,
+def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, co_t, out_w,
                  reflect, h, chunks, dtype, epilogue=False):
     main_ref = refs[0]
     row_refs = refs[1:k]
@@ -214,17 +214,22 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, out_w,
     for dy in range(k):
         P_ref[dy * c_p:(dy + 1) * c_p, :] = S[0:c_p, dy * wp:dy * wp + Lp]
     P = P_ref[...]
-    g = max(1, min(k, 128 // max(co_p, 1)))
-    acc = jnp.zeros((co_p, L), jnp.float32)
+    # co_t is the per-dx row group in the M-stacked dot: co_p
+    # (sublane-aligned slices) when cout fills a tile, or the TIGHT cout
+    # itself when cout < 8 — the tail/head-dx class (cout=3) otherwise
+    # streams 56 M rows of which only 21 are real (measured 2.9 ms vs
+    # ~29 GFLOP of useful work); tight packing cuts M to 21-24.
+    g = max(1, min(k, 128 // max(co_t, 1)))
+    acc = jnp.zeros((co_t, L), jnp.float32)
     for g0 in range(0, k, g):
         gc = min(g, k - g0)
         z = jax.lax.dot_general(
-            w_ref[g0 * co_p:(g0 + gc) * co_p], P,
+            w_ref[g0 * co_t:(g0 + gc) * co_t], P,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         for t in range(gc):
             dx = g0 + t
-            acc = acc + z[t * co_p:(t + 1) * co_p, dx:dx + L]
+            acc = acc + z[t * co_t:(t + 1) * co_t, dx:dx + L]
     if epilogue:
         # bias + ReLU + per-channel sum/sumsq accumulated into the tiny
         # second output: removes the downstream XLA stat pass's full
@@ -252,17 +257,17 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, out_w,
         o_ref[0, r] = accb[0:cout, r * wp:r * wp + out_w]
 
 
-def _conv_vmem_estimate(*, k, R, wp, c_p, cout, co_p, w_in, c,
+def _conv_vmem_estimate(*, k, R, wp, c_p, cout, co_p, co_t, w_in, c,
                         out_w, itemsize, epilogue=False):
     L = R * wp
     Lp = L + k - 1
     slab = c_p * ((R + k - 1) * wp + 128) * itemsize
     blocks = 2 * ((R + k - 1) * _rup(c, 8) * _rup(w_in, 128) * itemsize
                   + R * _rup(cout, 8) * _rup(out_w, 128) * itemsize)
-    acc = co_p * L * 4
+    acc = _rup(co_t, 8) * L * 4
     patch = k * c_p * Lp * itemsize
-    g = max(1, min(k, 128 // max(co_p, 1)))
-    z = g * co_p * Lp * 4
+    g = max(1, min(k, 128 // max(co_t, 1)))
+    z = _rup(g * co_t, 8) * Lp * 4
     extra = (co_p * L * (4 + itemsize)) if epilogue else 0  # tf + accb
     return slab + blocks + 2 * acc + patch + z + extra
 
@@ -277,13 +282,14 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
     n, h, _, w_in = x.shape
     c_p = _rup(max(cin, 1), 8)
     co_p = _rup(cout, 8)
+    co_t = _tight_co(cout, epilogue=bias is not None)
     wp = w_in + 2 * p
     out_h = h + 2 * p - (k - 1)
     out_w = wp - (k - 1)
     itemsize = jnp.dtype(x.dtype).itemsize
     R = 16
     while R > 4 and _conv_vmem_estimate(
-            k=k, R=R, wp=wp, c_p=c_p, cout=cout, co_p=co_p,
+            k=k, R=R, wp=wp, c_p=c_p, cout=cout, co_p=co_p, co_t=co_t,
             w_in=w_in, c=cin, out_w=out_w, itemsize=itemsize,
             epilogue=bias is not None) > 10 * 2 ** 20:
         R //= 2
@@ -303,8 +309,8 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
                               memory_space=pltpu.VMEM))
     kern = functools.partial(
         _conv_kernel, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
-        cout=cout, co_p=co_p, out_w=out_w, reflect=reflect, h=h,
-        chunks=chunks, dtype=x.dtype, epilogue=bias is not None)
+        cout=cout, co_p=co_p, co_t=co_t, out_w=out_w, reflect=reflect,
+        h=h, chunks=chunks, dtype=x.dtype, epilogue=bias is not None)
     y_spec = pl.BlockSpec(
         (1, R, cout, out_w), lambda s: (s // chunks, s % chunks, 0, 0),
         memory_space=pltpu.VMEM)
@@ -336,8 +342,8 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
 # ---------------------------------------------------------------------------
 
 
-def _dw_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, h, chunks,
-               steps, dtype):
+def _dw_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, c_t, co_g,
+               swap, h, chunks, steps, dtype):
     xmain_ref = refs[0]
     xrow_refs = refs[1:k]
     gmain_ref = refs[k]
@@ -363,16 +369,29 @@ def _dw_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, h, chunks,
             jnp.concatenate([gmain_ref[0, r], zrow], axis=1))
     Sg[:, k - 1 + L:k - 1 + L + 128] = jnp.zeros((co_p, 128), dtype)
 
+    # Tight packs (c_t <= c_p, co_g <= co_p): padded-channel rows are
+    # zero (Sx) or cropped later (Sg), so excluding them changes nothing
+    # but the streamed M / padded N of the dot.
     for dy in range(k):
-        P_ref[dy * c_p:(dy + 1) * c_p, :] = Sx[0:c_p, dy * wp:dy * wp + Lp]
+        P_ref[dy * c_t:(dy + 1) * c_t, :] = Sx[0:c_t, dy * wp:dy * wp + Lp]
     # G'[(dx, co), m] = g[co, m - dx] (zero out of range)
     for dx in range(k):
-        G_ref[dx * co_p:(dx + 1) * co_p, :] = (
-            Sg[0:co_p, (k - 1) - dx:(k - 1) - dx + Lp])
+        G_ref[dx * co_g:(dx + 1) * co_g, :] = (
+            Sg[0:co_g, (k - 1) - dx:(k - 1) - dx + Lp])
 
-    part = jax.lax.dot_general(
-        P_ref[...], G_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (k*c_p, k*co_p)
+    if swap:
+        # (k*co_g, k*c_t): chosen when streaming k*co_g rows against
+        # ceil(k*c_t/128) lane tiles is cheaper than the reverse (tail
+        # dw: 21 rows x 4 tiles vs 448 rows x 1 tile).
+        part = jax.lax.dot_general(
+            G_ref[...], P_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        part = jax.lax.dot_general(
+            P_ref[...], G_ref[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (k*c_t, k*co_g)
 
     @pl.when(step == 0)
     def _():
@@ -386,14 +405,27 @@ def _dw_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, h, chunks,
 
 
 def _dw_call(x, g, *, k):
-    """dw[(dy,ci),(dx,co)] of conv(reflect_pad(x, k//2), w) wrt w, as a
-    (k*c_p, k*co_p) f32 array (caller reshapes/crops). x, g are
-    channel-major (N, H, C, W) / (N, H, CO, W)."""
+    """dw (k, k, cin, cout) f32 of conv(reflect_pad(x, k//2), w) wrt w.
+    x, g are channel-major (N, H, C, W) / (N, H, CO, W).
+
+    The dot packs channels tight (no 8-row pad when a side's channels
+    are <8) and picks its orientation per shape: streamed-M rows times
+    lane tiles of N is minimized, so the tail's dw runs (21, 448)
+    instead of (448, 56) — 21 real M rows against 4 N tiles instead of
+    448 streamed rows of which 7.6x are pad (measured 2.9 ms/call at
+    ~38% MXU before)."""
     n, h, cin, w_in = x.shape
     cout = g.shape[2]
     p = k // 2
     c_p = _rup(max(cin, 1), 8)
     co_p = _rup(cout, 8)
+    c_t = _tight_co(cin)
+    co_g = _tight_co(cout)
+    cost_orig = k * c_t * _cdiv(k * co_g, 128)
+    cost_swap = k * co_g * _cdiv(k * c_t, 128)
+    swap = _knob("VCT_DW_SWAP") and cost_swap < cost_orig
+    out_rows, out_cols = (k * co_g, k * c_t) if swap else (k * c_t,
+                                                           k * co_g)
     wp = w_in + 2 * p
     itemsize = jnp.dtype(x.dtype).itemsize
     R = 16
@@ -403,9 +435,9 @@ def _dw_call(x, g, *, k):
         Lp = L + k - 1
         return (c_p * ((R + k - 1) * wp + 128) * itemsize      # Sx
                 + co_p * (Lp + 256) * itemsize                 # Sg
-                + k * c_p * Lp * itemsize                      # P
-                + k * co_p * Lp * itemsize                     # G
-                + 2 * k * c_p * k * co_p * 4                   # dwacc+part
+                + k * c_t * Lp * itemsize                      # P
+                + k * co_g * Lp * itemsize                     # G
+                + 2 * _rup(out_rows, 8) * out_cols * 4         # dwacc+part
                 + 2 * (R + k - 1) * _rup(w_in, 128)
                 * (_rup(cin, 8) + _rup(cout, 8)) * itemsize)
 
@@ -423,23 +455,28 @@ def _dw_call(x, g, *, k):
                               memory_space=pltpu.VMEM))
     kern = functools.partial(
         _dw_kernel, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
-        cout=cout, co_p=co_p, h=h, chunks=chunks, steps=steps,
-        dtype=x.dtype)
-    return _pallas(
+        cout=cout, co_p=co_p, c_t=c_t, co_g=co_g, swap=swap, h=h,
+        chunks=chunks, steps=steps, dtype=x.dtype)
+    raw = _pallas(
         kern,
         grid=(steps,),
         in_specs=specs,
-        out_specs=pl.BlockSpec((k * c_p, k * co_p), lambda s: (0, 0),
+        out_specs=pl.BlockSpec((out_rows, out_cols), lambda s: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k * c_p, k * co_p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_rows, out_cols), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype),
             pltpu.VMEM((co_p, (R * wp + k - 1) + 256), x.dtype),
-            pltpu.VMEM((k * c_p, k * co_p), jnp.float32),
-            pltpu.VMEM((k * c_p, R * wp + k - 1), x.dtype),
-            pltpu.VMEM((k * co_p, R * wp + k - 1), x.dtype),
+            pltpu.VMEM((out_rows, out_cols), jnp.float32),
+            pltpu.VMEM((k * c_t, R * wp + k - 1), x.dtype),
+            pltpu.VMEM((k * co_g, R * wp + k - 1), x.dtype),
         ],
     )(*([x] * k), g)
+    if swap:
+        dw = raw.reshape(k, co_g, k, c_t).transpose(2, 0, 3, 1)
+    else:
+        dw = raw.reshape(k, c_t, k, co_g).transpose(0, 2, 1, 3)
+    return dw[:, :, :cin, :cout]
 
 
 # ---------------------------------------------------------------------------
@@ -447,11 +484,25 @@ def _dw_call(x, g, *, k):
 # ---------------------------------------------------------------------------
 
 
-def _pack_w(w, c_p, co_p):
-    """(k,k,cin,cout) -> (k_dx*co_p, k_dy*c_p)."""
+def _pack_w(w, c_p, co_t):
+    """(k,k,cin,cout) -> (k_dx*co_t, k_dy*c_p). co_t is the per-dx row
+    group: co_p for tile-aligned slicing, or the raw cout when the tight
+    M pack engages (see _tight_co)."""
     k, _, cin, cout = w.shape
-    wpad = jnp.pad(w, ((0, 0), (0, 0), (0, c_p - cin), (0, co_p - cout)))
-    return wpad.transpose(1, 3, 0, 2).reshape(k * co_p, k * c_p)
+    wpad = jnp.pad(w, ((0, 0), (0, 0), (0, c_p - cin), (0, co_t - cout)))
+    return wpad.transpose(1, 3, 0, 2).reshape(k * co_t, k * c_p)
+
+
+def _tight_co(cout, *, epilogue=False):
+    """Per-dx M-row group for the forward/dx kernels. For cout < 8 the
+    co_p pad makes the MXU stream 8/cout more M rows than exist (tail
+    k7 64->3: M=56 for 21 real rows, measured 2.9 ms/call at ~14% MXU);
+    packing rows as (dx, cout) with no pad cuts M to k*cout at the cost
+    of sublane-unaligned accumulator slices (7 shifted adds on a
+    (3, L) f32 — cheap). The epilogue stat path keeps co_p alignment."""
+    if epilogue or cout >= 8 or not _knob("VCT_TIGHT_CO"):
+        return _rup(cout, 8)
+    return cout
 
 
 # ---------------------------------------------------------------------------
@@ -469,8 +520,7 @@ def _conv_dispatch_cm(x_cm, w, *, pad_mode):
     reflect = pad_mode == "reflect"
     p = k // 2 if pad_mode in ("reflect", "zero_same") else k - 1
     c_p = _rup(max(cin, 1), 8)
-    co_p = _rup(cout, 8)
-    wp = _pack_w(w, c_p, co_p).astype(x_cm.dtype)
+    wp = _pack_w(w, c_p, _tight_co(cout)).astype(x_cm.dtype)
     return _conv_call(x_cm, wp, k=k, p=p, cin=cin, cout=cout,
                       reflect=reflect)
 
@@ -523,10 +573,15 @@ def _to_nhwc(x_cm):
     return _swap_wc(x_cm)
 
 
-_to_nhwc.defvjp(
-    lambda x_cm: (_swap_wc(x_cm), None),
-    lambda _, g: (_swap_wc(jax.lax.optimization_barrier(g)),),
-)
+def _pinned_swap(_, g):
+    # Barrier on BOTH sides (same fix as ops/pixel_shuffle.py): the input
+    # pin alone lets XLA sink a downstream f32 convert into the adjoint
+    # transpose itself, doubling the copy width.
+    out = _swap_wc(jax.lax.optimization_barrier(g))
+    return (jax.lax.optimization_barrier(out),)
+
+
+_to_nhwc.defvjp(lambda x_cm: (_swap_wc(x_cm), None), _pinned_swap)
 
 
 @jax.custom_vjp
@@ -534,10 +589,7 @@ def _to_cm(x):
     return _swap_wc(x)
 
 
-_to_cm.defvjp(
-    lambda x: (_swap_wc(x), None),
-    lambda _, g: (_swap_wc(jax.lax.optimization_barrier(g)),),
-)
+_to_cm.defvjp(lambda x: (_swap_wc(x), None), _pinned_swap)
 
 
 def _fwd_impl_cm(x_cm, w):
@@ -646,7 +698,6 @@ def _bwd_impl_cm(res, g_cm):
     x_cm, w = res
     k = w.shape[0]
     pad = k // 2
-    cin, cout = w.shape[2], w.shape[3]
     g_cm = g_cm.astype(x_cm.dtype)
     dx_on, dw_on = _knob("VCT_STARVED_DX"), _knob("VCT_STARVED_DW")
     dxa = dwa = None
@@ -662,11 +713,7 @@ def _bwd_impl_cm(res, g_cm):
     else:
         dx = dxa
     if dw_on:
-        c_p = _rup(max(cin, 1), 8)
-        co_p = _rup(cout, 8)
-        raw = _dw_call(x_cm, g_cm, k=k)         # (k*c_p, k*co_p) f32
-        dw = raw.reshape(k, c_p, k, co_p).transpose(0, 2, 1, 3)
-        dw = dw[:, :, :cin, :cout].astype(w.dtype)
+        dw = _dw_call(x_cm, g_cm, k=k).astype(w.dtype)
     else:
         dw = dwa
     return dx, dw
