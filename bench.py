@@ -36,6 +36,20 @@ def main() -> None:
     else:
         _require_live_backend()
 
+    # Persistent compilation cache: the flagship step takes ~8-10 min to
+    # compile cold; repeated harness runs on the same config should pay
+    # that once per kernel change, not per invocation.
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_bench"),
+    )
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover — cache is best-effort
+        pass
+
     from vae_cyclegan_tpu.config import ModelConfig
     from vae_cyclegan_tpu.models.tasks import create_task
 
