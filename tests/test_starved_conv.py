@@ -102,6 +102,34 @@ def test_dx_border_fold_matches_oracle(h, w, cin, cout, k):
     assert float(jnp.max(jnp.abs(got - want))) < 5e-5
 
 
+@pytest.mark.parametrize("knob", ["VCT_TIGHT_CO", "VCT_DW_SWAP"])
+def test_packing_knobs_are_pure_layout(monkeypatch, knob):
+    """The tight-M channel packing (VCT_TIGHT_CO) and the per-shape dw
+    dot orientation (VCT_DW_SWAP) are performance layouts only: knob-off
+    must reproduce knob-on forward AND gradients exactly on the
+    low-cout shape class both engage on (tail-like k7 cin>=8 -> cout=3)."""
+    h, w, cin, cout, k = 32, 40, 16, 3, 7
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, h, w, cin),
+                          jnp.float32)
+    wgt = jax.random.normal(jax.random.PRNGKey(12), (k, k, cin, cout),
+                            jnp.float32) * 0.1
+    cot = jax.random.normal(jax.random.PRNGKey(13), (2, h, w, cout),
+                            jnp.float32)
+
+    def run():
+        out = sc._starved_conv(x, wgt)
+        gx, gw = jax.grad(
+            lambda a, b: jnp.sum(sc._starved_conv(a, b) * cot),
+            argnums=(0, 1))(x, wgt)
+        return out, gx, gw
+
+    on = run()
+    monkeypatch.setenv(knob, "0")
+    off = run()
+    for a, b in zip(on, off):
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-5
+
+
 def test_cm_chain_matches_nhwc(monkeypatch):
     """U4-style conv -> IN(act_norm) -> tail conv with channel-major
     handover must equal the all-NHWC lowering (fwd and grads)."""
