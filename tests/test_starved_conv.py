@@ -130,6 +130,39 @@ def test_packing_knobs_are_pure_layout(monkeypatch, knob):
         assert float(jnp.max(jnp.abs(a - b))) < 5e-5
 
 
+@pytest.mark.parametrize("h,w,cin,cout,k", [
+    (32, 40, 3, 16, 7),   # low-cin k7: channel-padded sublanes + tail block
+    (32, 32, 8, 16, 3),   # U4-like k3
+    (32, 40, 16, 3, 7),   # low-cout k7 (exercises direct in dx/dw too)
+])
+def test_direct_patch_matches_slab(monkeypatch, h, w, cin, cout, k):
+    """VCT_DIRECT_P (write padded rows straight into P's (dy, ci)
+    blocks, skipping the slab S) is a pure assembly layout: it must
+    reproduce the default slab path's forward AND gradients exactly,
+    including the k-1 tail lanes and channel-padded sublanes it has to
+    zero itself. Ships default-off (e2e A/B: slab 70.5 vs direct-rule
+    70.2 img/s) but stays covered here."""
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, h, w, cin),
+                          jnp.float32)
+    wgt = jax.random.normal(jax.random.PRNGKey(22), (k, k, cin, cout),
+                            jnp.float32) * 0.1
+    cot = jax.random.normal(jax.random.PRNGKey(23), (2, h, w, cout),
+                            jnp.float32)
+
+    def run():
+        out = sc._starved_conv(x, wgt)
+        gx, gw = jax.grad(
+            lambda a, b: jnp.sum(sc._starved_conv(a, b) * cot),
+            argnums=(0, 1))(x, wgt)
+        return out, gx, gw
+
+    slab = run()
+    monkeypatch.setenv("VCT_DIRECT_P", "1")
+    direct = run()
+    for a, b in zip(slab, direct):
+        assert float(jnp.max(jnp.abs(a - b))) < 5e-5
+
+
 def test_cm_chain_matches_nhwc(monkeypatch):
     """U4-style conv -> IN(act_norm) -> tail conv with channel-major
     handover must equal the all-NHWC lowering (fwd and grads)."""

@@ -131,15 +131,47 @@ def _row_specs(*, n, h, w_in, c, R, chunks, p, k, reflect):
     return specs
 
 
+def _padded_row(j, main_ref, row_refs, *, k, p, R, w_in, c, reflect, h,
+                chunks):
+    """Build padded row j (C, wp) of the chunk's slab: border rows come
+    from the k-1 single-row refs, horizontal borders are reflected (or
+    zeroed) via lane concats; in zero mode rows outside [0, h) are
+    zeroed (their specs deliver clamped rows)."""
+    if j < p:
+        src = row_refs[j][0, 0]                 # (C, W)
+    elif j < p + R:
+        src = main_ref[0, j - p]
+    else:
+        # post specs sit after the p pre specs: ref index j - R
+        src = row_refs[j - R][0, 0]
+    if p and reflect:
+        # Mosaic has no `rev`: build the reflected borders from p
+        # single-column slices (p <= 6)
+        left = jnp.concatenate(
+            [src[:, p - b:p - b + 1] for b in range(p)], axis=1)
+        right = jnp.concatenate(
+            [src[:, w_in - 2 - b:w_in - 1 - b] for b in range(p)],
+            axis=1)
+        row = jnp.concatenate([left, src, right], axis=1)
+    elif p:
+        z = jnp.zeros((c, p), src.dtype)
+        row = jnp.concatenate([z, src, z], axis=1)
+    else:
+        row = src
+    if not reflect:
+        r0 = (pl.program_id(0) % chunks) * R
+        raw = r0 + j - p
+        valid = jnp.logical_and(raw >= 0, raw < h)
+        row = jnp.where(valid, row, jnp.zeros_like(row))
+    return row
+
+
 def _assemble_slab(S, main_ref, row_refs, *, k, p, R, w_in, wp, c,
                    reflect, h, chunks):
     """Write R+k-1 padded rows into the flat slab scratch S (c_p
-    sublanes, row stride wp). Horizontal borders are reflected (or
-    zeroed) via lane concats; in zero mode rows outside [0, h) are
-    zeroed (their specs deliver clamped rows)."""
+    sublanes, row stride wp)."""
     nrows = R + k - 1
     c_p = S.shape[0]
-    r0 = (pl.program_id(0) % chunks) * R
     if c < c_p:
         # channel-pad sublanes multiply zero weight columns, but VMEM
         # scratch is uninitialized and 0 * NaN = NaN — zero them.
@@ -148,32 +180,41 @@ def _assemble_slab(S, main_ref, row_refs, *, k, p, R, w_in, wp, c,
     # slices; lands only in cropped output columns, but keep it finite)
     S[0:c, nrows * wp:] = jnp.zeros((c, S.shape[1] - nrows * wp), S.dtype)
     for j in range(nrows):
-        if j < p:
-            src = row_refs[j][0, 0]                 # (C, W)
-        elif j < p + R:
-            src = main_ref[0, j - p]
-        else:
-            # post specs sit after the p pre specs: ref index j - R
-            src = row_refs[j - R][0, 0]
-        if p and reflect:
-            # Mosaic has no `rev`: build the reflected borders from p
-            # single-column slices (p <= 6)
-            left = jnp.concatenate(
-                [src[:, p - b:p - b + 1] for b in range(p)], axis=1)
-            right = jnp.concatenate(
-                [src[:, w_in - 2 - b:w_in - 1 - b] for b in range(p)],
-                axis=1)
-            row = jnp.concatenate([left, src, right], axis=1)
-        elif p:
-            z = jnp.zeros((c, p), src.dtype)
-            row = jnp.concatenate([z, src, z], axis=1)
-        else:
-            row = src
-        if not reflect:
-            raw = r0 + j - p
-            valid = jnp.logical_and(raw >= 0, raw < h)
-            row = jnp.where(valid, row, jnp.zeros_like(row))
+        row = _padded_row(j, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in,
+                          c=c, reflect=reflect, h=h, chunks=chunks)
         S[0:c, j * wp:(j + 1) * wp] = row
+
+
+def _assemble_patch(P, main_ref, row_refs, *, k, p, R, w_in, wp, c, c_p,
+                    reflect, h, chunks):
+    """Direct-to-patch assembly (VCT_DIRECT_P): write each padded row
+    straight into every (dy, ci) block of P where it appears, skipping
+    the intermediate slab S entirely. P block dy equals slab lanes
+    [dy*wp, dy*wp + Lp), so row j lands at lane (j-dy)*wp of blocks
+    dy = j-R .. j (clipped to [0, k)); the S write + k S window reads
+    become k direct row writes — one full slab write+read less per grid
+    step, and the S scratch (plus its VMEM) disappears."""
+    nrows = R + k - 1
+    Lp = R * wp + k - 1
+    if c < c_p:
+        for dy in range(k):
+            P[dy * c_p + c:(dy + 1) * c_p, :] = jnp.zeros(
+                (c_p - c, P.shape[1]), P.dtype)
+    if k > 1:
+        # block k-1's tail lanes would come from slab row R+k-1, which
+        # does not exist (the slab path reads zeroed lane slack there);
+        # they land only in cropped output columns — zero them once.
+        P[(k - 1) * c_p:(k - 1) * c_p + c, R * wp:Lp] = jnp.zeros(
+            (c, k - 1), P.dtype)
+    for j in range(nrows):
+        row = _padded_row(j, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in,
+                          c=c, reflect=reflect, h=h, chunks=chunks)
+        for dy in range(k):
+            rel = j - dy
+            if 0 <= rel < R:
+                P[dy * c_p:dy * c_p + c, rel * wp:rel * wp + wp] = row
+            elif rel == R:
+                P[dy * c_p:dy * c_p + c, R * wp:Lp] = row[:, :k - 1]
 
 
 def _row_ref_order(k, p):
@@ -188,7 +229,7 @@ def _row_ref_order(k, p):
 
 
 def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, co_t, out_w,
-                 reflect, h, chunks, dtype, epilogue=False):
+                 reflect, h, chunks, dtype, epilogue=False, direct=False):
     main_ref = refs[0]
     row_refs = refs[1:k]
     w_ref = refs[k]
@@ -196,13 +237,8 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, co_t, out_w,
         b_ref = refs[k + 1]
         o_ref = refs[k + 2]
         st_ref = refs[k + 3]
-        S = refs[k + 4]
     else:
         o_ref = refs[k + 1]
-        S = refs[k + 2]
-
-    _assemble_slab(S, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in, wp=wp,
-                   c=c, reflect=reflect, h=h, chunks=chunks)
 
     L = R * wp
     Lp = L + k - 1
@@ -211,8 +247,17 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, co_t, out_w,
     # (dx, co_p) groups up to 128 so even cout=3 runs a 56-row dot
     # (co_p-padded) and the tap fold is only k lane-sliced adds.
     P_ref = refs[-1]
-    for dy in range(k):
-        P_ref[dy * c_p:(dy + 1) * c_p, :] = S[0:c_p, dy * wp:dy * wp + Lp]
+    if direct:
+        _assemble_patch(P_ref, main_ref, row_refs, k=k, p=p, R=R,
+                        w_in=w_in, wp=wp, c=c, c_p=c_p, reflect=reflect,
+                        h=h, chunks=chunks)
+    else:
+        S = refs[-2]
+        _assemble_slab(S, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in,
+                       wp=wp, c=c, reflect=reflect, h=h, chunks=chunks)
+        for dy in range(k):
+            P_ref[dy * c_p:(dy + 1) * c_p, :] = S[0:c_p,
+                                                  dy * wp:dy * wp + Lp]
     P = P_ref[...]
     # co_t is the per-dx row group in the M-stacked dot: co_p
     # (sublane-aligned slices) when cout fills a tile, or the TIGHT cout
@@ -258,10 +303,10 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, co_t, out_w,
 
 
 def _conv_vmem_estimate(*, k, R, wp, c_p, cout, co_p, co_t, w_in, c,
-                        out_w, itemsize, epilogue=False):
+                        out_w, itemsize, epilogue=False, direct=False):
     L = R * wp
     Lp = L + k - 1
-    slab = c_p * ((R + k - 1) * wp + 128) * itemsize
+    slab = 0 if direct else c_p * ((R + k - 1) * wp + 128) * itemsize
     blocks = 2 * ((R + k - 1) * _rup(c, 8) * _rup(w_in, 128) * itemsize
                   + R * _rup(cout, 8) * _rup(out_w, 128) * itemsize)
     acc = _rup(co_t, 8) * L * 4
@@ -287,11 +332,12 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
     out_h = h + 2 * p - (k - 1)
     out_w = wp - (k - 1)
     itemsize = jnp.dtype(x.dtype).itemsize
+    direct = _direct_patch(k, cin)
     R = 16
     while R > 4 and _conv_vmem_estimate(
             k=k, R=R, wp=wp, c_p=c_p, cout=cout, co_p=co_p, co_t=co_t,
             w_in=w_in, c=cin, out_w=out_w, itemsize=itemsize,
-            epilogue=bias is not None) > 10 * 2 ** 20:
+            epilogue=bias is not None, direct=direct) > 10 * 2 ** 20:
         R //= 2
     # Reflect mode has no in-kernel row masking, so the main block may
     # not run past the input: R must divide h (h % 8 == 0 per
@@ -310,15 +356,18 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
     kern = functools.partial(
         _conv_kernel, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
         cout=cout, co_p=co_p, co_t=co_t, out_w=out_w, reflect=reflect,
-        h=h, chunks=chunks, dtype=x.dtype, epilogue=bias is not None)
+        h=h, chunks=chunks, dtype=x.dtype, epilogue=bias is not None,
+        direct=direct)
     y_spec = pl.BlockSpec(
         (1, R, cout, out_w), lambda s: (s // chunks, s % chunks, 0, 0),
         memory_space=pltpu.VMEM)
     y_shape = jax.ShapeDtypeStruct((n, out_h, cout, out_w), x.dtype)
     scratch = [
-        pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype),
         pltpu.VMEM((k * c_p, R * wp + k - 1), x.dtype),
     ]
+    if not direct:
+        scratch.insert(
+            0, pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype))
     if bias is None:
         return _pallas(
             kern, grid=(steps,), in_specs=specs, out_specs=y_spec,
@@ -538,6 +587,28 @@ def _knob(name):
     import os
 
     return os.environ.get(name, "1") != "0"
+
+
+def _direct_patch(k, cin):
+    """Direct-to-patch assembly: write padded rows straight into P's k
+    (dy, ci) blocks instead of staging a slab S and copying k shifted
+    windows — one slab write + k slab-window reads less per grid step.
+
+    Measured and retired as a default: isolated v5e A/Bs
+    (starved_fused_bench, batch 24 bf16) show the direct form faster
+    where rows are cheap to rebuild per store — cin<8 (head fwd
+    0.094->0.076 ms) or k==3 (U4 fwd 1.64->1.55, fwd+bwd 9.16->8.99) —
+    and slower at k=7 cin=64 (tail fwd 3.44->3.76: the k big contiguous
+    window copies beat 7 per-row unaligned stores of a materialized
+    row temp). But e2e the per-shape rule LOSES: flagship interleaved
+    A/B measured slab 70.52/70.53/70.51 vs rule 70.18/70.38/70.15
+    img/s — the extra per-row stores at the k3 sites cost more DMA
+    overlap across the step than the saved slab write+reads. Default is
+    all-slab; VCT_DIRECT_P=1 forces all-direct for A/Bs."""
+    import os
+
+    del k, cin
+    return os.environ.get("VCT_DIRECT_P") == "1"
 
 
 def _force():
