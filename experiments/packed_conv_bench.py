@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 from vae_cyclegan_tpu.ops import instance_norm_act
 from vae_cyclegan_tpu.ops.reflect_conv import reflect_conv
-from vae_cyclegan_tpu.ops.packed_conv import packed_reflect_conv
+from packed_conv import packed_reflect_conv
 
 LAYERS = [
     ("head k7 3->64 @256", 256, 3, 64, 7, "norm_act"),
