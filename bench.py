@@ -64,20 +64,59 @@ def main() -> None:
         latent_dim=64,
         base_width=64,
         dtype=jnp.bfloat16 if precision == "bf16" else jnp.float32,
-        use_pallas=False if os.environ.get("BENCH_NO_PALLAS") == "1" else None,
+        use_pallas=False if (os.environ.get("BENCH_NO_PALLAS") == "1"
+                             or os.environ.get("BENCH_SPATIAL") == "1")
+        else None,
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
     )
     # the BASELINE config #5: unpaired summer2winter-style full dual cycle
     task = create_task(arch, model=mc, paired=False)
 
     rng = jax.random.PRNGKey(0)
-    state = task.init_state(rng)
     k1, k2 = jax.random.split(rng)
     x = jax.random.uniform(k1, (batch, image_size, image_size, 3), jnp.float32)
     y = jax.random.uniform(k2, (batch, image_size, image_size, 3), jnp.float32)
-    batch_data = {"x": x, "y": y}
 
-    step_fn = jax.jit(task.train_step, donate_argnums=(0,))
+    if os.environ.get("BENCH_SPATIAL") == "1":
+        # SP pricing (VERDICT r3 item 8): the exact lowering `--spatial`
+        # buys, on ONE chip with zero halo cost — a ('data','spatial')
+        # mesh (both axes 1) through GSPMD jit, Pallas suite disabled
+        # (train.py:161-165). Compare against the default run to state
+        # the kernels-off + GSPMD price of spatial parallelism.
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from vae_cyclegan_tpu.engine import Engine
+        from vae_cyclegan_tpu.ops import starved_conv as _sc
+
+        _sc.set_enabled(False)
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("data", "spatial"))
+        engine = Engine(task, mesh, donate=True)
+        assert not engine._use_shard_map
+        state = engine.init_state(seed=0)
+        batch_data = engine._put({"x": np.asarray(x), "y": np.asarray(y)})
+        step_fn = engine.train_step
+    elif os.environ.get("BENCH_UNIFIED", "1") != "0":
+        # The PRODUCTION step: Engine's shard_map-over-'data' lowering on a
+        # 1-device mesh — the same code path an N-chip mesh runs, so this
+        # number certifies the configuration that scales (VERDICT r3 item
+        # 1c). BENCH_UNIFIED=0 A/Bs the raw jitted step.
+        import numpy as np
+
+        from vae_cyclegan_tpu.engine import Engine
+        from vae_cyclegan_tpu.parallel import make_mesh
+
+        engine = Engine(task, make_mesh(1), donate=True)
+        state = engine.init_state(seed=0)
+        batch_data = engine._put(
+            {"x": np.asarray(x), "y": np.asarray(y)}
+        )
+        step_fn = engine.train_step
+    else:
+        state = task.init_state(rng)
+        batch_data = {"x": x, "y": y}
+        step_fn = jax.jit(task.train_step, donate_argnums=(0,))
 
     # warmup (compile + 2 steady steps); fetch a scalar to force completion —
     # block_until_ready is unreliable through remote-device tunnels.
@@ -103,16 +142,29 @@ def main() -> None:
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(images_per_sec / REFERENCE_CPU_IMAGES_PER_SEC, 1),
-        # BASELINE.json's second north-star number: G+D step time. p50 over
-        # the 3 async windows (per-step within a window is amortized — a
-        # per-step sync would add the ~28 ms tunnel RPC to every step).
-        "step_time_ms_p50": round(1000.0 * batch / images_per_sec, 2),
+        # window-amortized mean step time (1000*batch/median_window_rate);
+        # kept under an honest name — the true device-side distribution
+        # comes from the profiler trace below (VERDICT r3 weak 5)
+        "step_time_ms_window_mean": round(1000.0 * batch / images_per_sec, 2),
     }
+    if os.environ.get("BENCH_TRACE", "1") != "0":
+        # TRUE per-step device times: trace a window with jax.profiler and
+        # read one duration per train-step module execution from the
+        # xplane (experiments/xplane_parse.event_durations).
+        try:
+            p50, p95, n_ev = _bench_step_distribution(
+                step_fn, state, batch_data, steps
+            )
+            result["step_time_ms_p50"] = round(p50, 2)
+            result["step_time_ms_p95"] = round(p95, 2)
+            result["step_time_trace_events"] = n_ev
+        except Exception as e:  # noqa: BLE001 — trace phase is auxiliary
+            result["step_trace_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("BENCH_E2E", "1") != "0":
         try:
-            result["e2e_loader_images_per_sec"] = round(
-                _bench_e2e(task, batch, image_size), 3
-            )
+            e2e = _bench_e2e(task, batch, image_size)
+            result["e2e_loader_images_per_sec"] = e2e.pop("images_per_sec")
+            result["e2e_breakdown"] = e2e
         except Exception as e:  # noqa: BLE001 — e2e is auxiliary
             result["e2e_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("BENCH_LOADER_ONLY", "1") != "0":
@@ -131,6 +183,42 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             result["h2d_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
+
+
+def _bench_step_distribution(step_fn, state, batch_data, steps: int):
+    """(p50_ms, p95_ms, n_events) of per-step DEVICE time from a profiler
+    trace: one XSpace module-execution event per dispatched step, so the
+    percentiles are real, not a window mean relabeled (VERDICT r3 weak 5)."""
+    import statistics
+    import tempfile
+
+    import sys as _sys
+
+    _sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "experiments"),
+    )
+    from xplane_parse import event_durations
+
+    steps = max(int(os.environ.get("BENCH_TRACE_STEPS", steps)), 5)
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        try:
+            for _ in range(steps):
+                state, m = step_fn(state, batch_data)
+            float(m["G_loss"])
+        finally:
+            jax.profiler.stop_trace()
+        durs = event_durations(td, r"jit.*train")
+        if len(durs) < 3:
+            raise RuntimeError(
+                f"only {len(durs)} train-step module events in trace"
+            )
+        durs.sort()
+        p50 = statistics.median(durs)
+        p95 = durs[min(len(durs) - 1, int(round(0.95 * (len(durs) - 1))))]
+        return p50, p95, len(durs)
 
 
 def _require_live_backend(timeout: float = 300.0) -> None:
@@ -263,12 +351,19 @@ def _bench_h2d() -> float:
     return best
 
 
-def _bench_e2e(task, batch: int, image_size: int) -> float:
+def _bench_e2e(task, batch: int, image_size: int) -> dict:
     """End-to-end rate with the REAL data path: decoded-image cache ->
     prefetching loader (raw wire format) -> on-device augmentation inside
     the jitted step. Uses a synthetic Hypersim-format tree of full-res
     frames so the loader does exactly the production work minus PNG decode
-    (removed by the cache, as in production via `tools cache`)."""
+    (removed by the cache, as in production via `tools cache`).
+
+    Returns {'images_per_sec': median of 3 windows, plus a per-batch
+    phase breakdown in ms: host (blocked in next(loader)), h2d (blocked
+    in device_put), dispatch (blocked issuing the step), final_sync} —
+    VERDICT r3 item 2: if host+h2d+dispatch+step sums to the window the
+    pipeline is serialized; overlap shows up as phases hiding under the
+    step time."""
     import tempfile
     from pathlib import Path
 
@@ -322,21 +417,54 @@ def _bench_e2e(task, batch: int, image_size: int) -> float:
                         "batch size with drop_last=True?)"
                     )
             float(m["G_loss"])
-            n = 0
-            t0 = time.perf_counter()
-            pending = None
-            while n < steps:
-                for b in loader:
-                    # one-batch-ahead device prefetch (as Engine.train_epoch)
-                    nxt = engine._put(b)
-                    if pending is not None:
-                        state, m = engine.train_step(state, pending)
-                        n += 1
-                    pending = nxt
-                    if n >= steps:
-                        break
-            float(m["G_loss"])
-            return batch * steps / (time.perf_counter() - t0)
+
+            def _endless():
+                while True:
+                    yield from loader
+
+            from concurrent.futures import ThreadPoolExecutor
+
+            stream = _endless()
+            put_pool = ThreadPoolExecutor(1)
+            rates, phases = [], []
+            for _ in range(3):
+                # the Engine.train_epoch pattern: dispatch step i BEFORE
+                # issuing batch i+1's transfer; transfers run in a side
+                # thread; loader pulls overlap the in-flight step
+                host = h2d_wait = disp = 0.0
+                t0 = time.perf_counter()
+                ta = time.perf_counter()
+                b = next(stream)
+                host += time.perf_counter() - ta
+                fut = put_pool.submit(engine._put, b)
+                for _ in range(steps):
+                    ta = time.perf_counter()
+                    db = fut.result()  # blocked on the h2d transfer
+                    tb = time.perf_counter()
+                    state, m = engine.train_step(state, db)
+                    tc = time.perf_counter()
+                    nxt = next(stream)
+                    td = time.perf_counter()
+                    fut = put_pool.submit(engine._put, nxt)
+                    h2d_wait += tb - ta
+                    disp += tc - tb
+                    host += td - tc
+                tsync = time.perf_counter()
+                float(m["G_loss"])
+                tend = time.perf_counter()
+                rates.append(batch * steps / (tend - t0))
+                phases.append({
+                    "host_ms_per_batch": 1000 * host / (steps + 1),
+                    "h2d_wait_ms_per_batch": 1000 * h2d_wait / steps,
+                    "dispatch_ms_per_batch": 1000 * disp / steps,
+                    "final_sync_ms": 1000 * (tend - tsync),
+                    "window_ms_per_batch": 1000 * (tend - t0) / steps,
+                })
+            med = sorted(range(3), key=lambda i: rates[i])[1]
+            out = {"images_per_sec": round(rates[med], 3)}
+            out.update({k: round(v, 1) for k, v in phases[med].items()})
+            put_pool.shutdown(wait=False)
+            return out
         finally:
             _ds_mod.set_decode_cache(None)
             loader.close()

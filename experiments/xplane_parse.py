@@ -99,6 +99,49 @@ def plane_op_totals(buf: bytes):
     return name, totals
 
 
+def resolve_xplane(path: str) -> str:
+    """Latest .xplane.pb under a trace dir (or the file itself)."""
+    if os.path.isdir(path):
+        cands = sorted(
+            glob.glob(f"{path}/**/*.xplane.pb", recursive=True),
+            key=os.path.getmtime,
+        )
+        if not cands:
+            raise FileNotFoundError(f"no .xplane.pb under {path}")
+        return cands[-1]
+    return path
+
+
+def event_durations(path: str, name_rx: str):
+    """Per-EVENT durations (ms) on device planes for events whose metadata
+    name matches `name_rx` — e.g. the jitted module name gives one event
+    per step execution, i.e. the TRUE device-side step-time distribution
+    (bench.py's step_time_ms_p50/p95; VERDICT r3 weak 5)."""
+    rx = re.compile(name_rx)
+    buf = open(resolve_xplane(path), "rb").read()
+    out = []
+    for fn, _, v in fields(buf):
+        if fn != 1:
+            continue
+        pname, lines, meta = parse_plane(v)
+        if "TPU" not in pname and "Device" not in pname:
+            continue
+        for lbuf in lines:
+            for fn2, _, v2 in fields(lbuf):
+                if fn2 != 4:
+                    continue
+                mid = 0
+                dur = 0
+                for f2, wt2, v3 in fields(v2):
+                    if f2 == 1:
+                        mid = v3
+                    elif f2 == 3 and wt2 == 0:
+                        dur = v3
+                if rx.search(meta.get(mid, "")):
+                    out.append(dur / 1e9)
+    return out
+
+
 _OP_RX = re.compile(r"^%([a-zA-Z][\w-]*?)(?:[.\d]*)\s*=")
 
 _BUCKETS = [

@@ -4,12 +4,21 @@ side by side from IDENTICAL initial weights on an IDENTICAL batch sequence,
 and record per-step loss trajectories.
 
 Covers the BASELINE.json parity requirement ("per-loss curves within 2%")
-for the deterministic architectures (autoencoder, cycleae — no sampling
-anywhere in their steps); the VAE/GAN families are covered by the exact
-one-step/trajectory parity tests in tests/test_reference_parity.py.
+for all five config families:
+  * deterministic (autoencoder, cycleae): identical batches suffice;
+  * variational/GAN (vae, vaegan, cyclevaegan): both frameworks consume
+    ONE recorded reparameterization-eps sequence — torch.randn_like is
+    patched to pop it (reference draw site Networks.py:225), and the jax
+    step takes the same eps as jit ARGUMENTS via parallel.dp.eps_queue
+    (one compile for the whole trajectory, no per-step retrace).
+
+The GAN families run at the native 256x256 (the reference Discriminator
+hardcodes its 16x16 final kernel, Networks.py:248); vae runs at any size.
 
 Usage:
     python scripts/parity_curves.py --steps 40 --out docs/parity_curves.json
+    python scripts/parity_curves.py --archs vae vaegan cyclevaegan \
+        --steps 40 --out docs/parity_curves_variational.json
 
 Requires the reference repo mounted at /root/reference (read-only oracle).
 """
@@ -38,6 +47,15 @@ def _import_reference():
     return Networks
 
 
+# reparameterization draws per training step, in reference call order
+# (vae: forward(x); vaegan: G(x), G(y), Networks.py:1269-1276;
+#  cyclevaegan: G(x), G(y), F(Gx), F(y), F(x), G(Fy), Networks.py:1909-1915)
+_EPS_PER_STEP = {"vae": 1, "vaegan": 2, "cyclevaegan": 6}
+# GAN discriminators hardcode the 16x16 final kernel (Networks.py:248):
+# those archs only exist at 256^2 in the reference
+_FORCE_256 = {"vaegan", "cyclevaegan", "cycleaegan", "aegan"}
+
+
 def run_pair(arch: str, steps: int, image_size: int, batch: int, seed: int):
     import jax
     import jax.numpy as jnp
@@ -45,16 +63,25 @@ def run_pair(arch: str, steps: int, image_size: int, batch: int, seed: int):
 
     from vae_cyclegan_tpu.config import ModelConfig, OptimConfig, LossConfig
     from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.parallel import eps_queue
     from vae_cyclegan_tpu.utils.torch_import import load_into_state
 
+    if arch in _FORCE_256:
+        image_size = 256
     ref = _import_reference()
     torch.manual_seed(seed)
     if arch == "autoencoder":
         tmodel = ref.Autoencoder()
     elif arch == "cycleae":
         tmodel = ref.CycleAE(paired=True)
+    elif arch == "vae":
+        tmodel = ref.VariationalAutoencoder(latent_dim=64)
+    elif arch == "vaegan":
+        tmodel = ref.VAEGAN(latent_dim=64)
+    elif arch == "cyclevaegan":
+        tmodel = ref.CycleVAEGAN(latent_dim=64, paired=True)
     else:
-        raise ValueError(f"unsupported deterministic arch {arch}")
+        raise ValueError(f"unsupported arch {arch}")
     tmodel.configure_optimizers(lr=2e-4)
     tmodel.configure_loss(
         lambda_kl=1e-5, lambda_gan=1.0, lambda_identity=5.0,
@@ -85,21 +112,73 @@ def run_pair(arch: str, steps: int, image_size: int, batch: int, seed: int):
         for _ in range(steps)
     ]
 
-    step_fn = jax.jit(task.train_step)
-    torch_curve, jax_curve = [], []
-    for x, y in batches:
-        tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
-        ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
-        t_metrics = tmodel.training_step({"x": tx, "y": ty})
-        torch_curve.append(float(t_metrics["G_loss"]))
-        state, j_metrics = step_fn(
-            state, {"x": jnp.asarray(x), "y": jnp.asarray(y)}
-        )
-        jax_curve.append(float(j_metrics["G_loss"]))
+    n_eps = _EPS_PER_STEP.get(arch, 0)
+    lat = image_size // 16
+    eps_rs = np.random.RandomState(seed + 1)
+    if n_eps:
+        # one recorded eps sequence, NCHW for torch / NHWC for jax
+        eps_all = [
+            eps_rs.randn(batch, 64, lat, lat).astype(np.float32)
+            for _ in range(steps * n_eps)
+        ]
+        t_iter = iter(eps_all)
+        orig_randn_like = torch.randn_like
+
+        def t_randn_like(t, **kw):
+            e = next(t_iter)
+            assert tuple(t.shape) == e.shape, (t.shape, e.shape)
+            return torch.from_numpy(e)
+
+        torch.randn_like = t_randn_like
+
+        def step_with_eps(s, b, eps):
+            # eps enter as jit ARGUMENTS; dp_normal pops them in trace
+            # order inside the step — one compile for all `steps` steps
+            with eps_queue(list(eps)):
+                return task.train_step(s, b)
+
+        step_fn = jax.jit(step_with_eps)
+    else:
+        step_fn = jax.jit(task.train_step)
+
+    try:
+        torch_curve, jax_curve = [], []
+        comp_curves_t, comp_curves_j = {}, {}
+        for i, (x, y) in enumerate(batches):
+            tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+            ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+            t_metrics = tmodel.training_step({"x": tx, "y": ty})
+            torch_curve.append(float(t_metrics["G_loss"]))
+            jb = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+            if n_eps:
+                eps = tuple(
+                    jnp.asarray(np.transpose(e, (0, 2, 3, 1)))
+                    for e in eps_all[i * n_eps:(i + 1) * n_eps]
+                )
+                state, j_metrics = step_fn(state, jb, eps)
+            else:
+                state, j_metrics = step_fn(state, jb)
+            jax_curve.append(float(j_metrics["G_loss"]))
+            for k, tv in t_metrics.items():
+                if k in j_metrics and k != "G_loss":
+                    comp_curves_t.setdefault(k, []).append(float(tv))
+                    comp_curves_j.setdefault(k, []).append(
+                        float(j_metrics[k])
+                    )
+    finally:
+        if n_eps:
+            torch.randn_like = orig_randn_like
 
     rel = [
         abs(a - b) / max(abs(b), 1e-9) for a, b in zip(jax_curve, torch_curve)
     ]
+    comp_gaps = {
+        k: max(
+            abs(a - b) / max(abs(b), 1e-2)
+            for a, b in zip(comp_curves_j[k], comp_curves_t[k])
+        )
+        for k in comp_curves_t
+    }
     return {
         "architecture": arch,
         "steps": steps,
@@ -110,6 +189,9 @@ def run_pair(arch: str, steps: int, image_size: int, batch: int, seed: int):
         "relative_gap": rel,
         "max_relative_gap": max(rel),
         "final_relative_gap": rel[-1],
+        "component_max_relative_gap": comp_gaps,
+        "torch_components": comp_curves_t,
+        "jax_components": comp_curves_j,
     }
 
 

@@ -165,6 +165,118 @@ def test_spatial_step_matches_single_device(name):
         )
 
 
+@pytest.mark.parametrize("name", ["autoencoder", "vae", "cyclevaegan"])
+def test_shard_map_step_matches_plain_jit(name):
+    """The engine's shard_map train step (the PRODUCTION path on 1-D data
+    meshes, Pallas kernels forced ON in interpret mode) must reproduce the
+    plain jitted step on an 8-device mesh — VERDICT r3 item 1: the perf
+    configuration and the multi-chip configuration are the same code path.
+
+    Covers: pmean'd (loss, grads) in _finite_update, metric pmean, and
+    the globally-positioned reparam noise (dp_normal) for the
+    variational tasks."""
+    import importlib
+
+    from vae_cyclegan_tpu.ops import starved_conv as sc
+
+    # ops.__init__ re-exports the instance_norm FUNCTION under the module's
+    # name; go through importlib for the module itself
+    in_mod = importlib.import_module("vae_cyclegan_tpu.ops.instance_norm")
+
+    mc = ModelConfig(image_size=32, latent_dim=8, base_width=8,
+                     use_pallas=True)
+    task = create_task(name, model=mc, paired=False)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    batch_np = {
+        "x": np.asarray(jax.random.uniform(k1, (8, 32, 32, 3))),
+        "y": np.asarray(jax.random.uniform(k2, (8, 32, 32, 3))),
+    }
+    sc.set_interpret(True)
+    in_mod.set_interpret(True)
+    try:
+        # plain single-device step (no shard_map, same kernels)
+        state0 = task.init_state(jax.random.PRNGKey(0))
+        s1, m1 = jax.jit(task.train_step)(
+            state0, {k: jnp.asarray(v) for k, v in batch_np.items()}
+        )
+
+        mesh = make_mesh(8)
+        engine = Engine(task, mesh, donate=False)
+        assert engine._use_shard_map
+        state_r = replicate_state(
+            task.init_state(jax.random.PRNGKey(0)), mesh
+        )
+        sharded = shard_batch(batch_np, mesh)
+        assert not sharded["x"].sharding.is_fully_replicated
+        s8, m8 = engine.train_step(state_r, sharded)
+
+        # flagship tolerance: lambda_cycle=10-scaled terms amplify f32
+        # reduction-order noise to ~1e-4 relative (same rationale as the
+        # __graft_entry__ dryrun gate); simple tasks stay tight
+        rel = 5e-4 if name == "cyclevaegan" else 2e-5
+        assert float(m1["G_loss"]) == pytest.approx(
+            float(m8["G_loss"]), rel=rel
+        )
+        for k in m1:
+            assert float(m1[k]) == pytest.approx(
+                float(m8[k]), rel=max(rel, 1e-4), abs=1e-5
+            ), k
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s1.params),
+            jax.tree_util.tree_leaves(s8.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=0
+            )
+    finally:
+        sc.set_interpret(False)
+        in_mod.set_interpret(False)
+
+
+def test_shard_map_eval_and_generate_match_plain(name="cyclevaegan"):
+    """Sharded eval/generate return the same scalars and the same
+    (global-batch-assembled) images as the plain jitted versions."""
+    task = create_task(name, model=MC, paired=False)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(13))
+    batch_np = {
+        "x": np.asarray(jax.random.uniform(k1, (8, 32, 32, 3))),
+        "y": np.asarray(jax.random.uniform(k2, (8, 32, 32, 3))),
+    }
+    rng = jax.random.PRNGKey(5)
+    state0 = task.init_state(jax.random.PRNGKey(0))
+    plain = jax.jit(task.eval_step)(
+        state0, {k: jnp.asarray(v) for k, v in batch_np.items()}, rng
+    )
+
+    mesh = make_mesh(8)
+    engine = Engine(task, mesh, donate=False)
+    state_r = replicate_state(task.init_state(jax.random.PRNGKey(0)), mesh)
+    sharded = shard_batch(batch_np, mesh)
+    m8 = engine.eval_step(state_r, sharded, rng)
+
+    assert set(plain.keys()) == set(m8.keys())
+    for k in plain:
+        if k in ("Gx", "Fy"):
+            # different compiled programs => fusion-order float noise on
+            # the unbounded decoder outputs (same allowance as the uint8
+            # wire-format test below)
+            np.testing.assert_allclose(
+                np.asarray(plain[k]), np.asarray(m8[k]), atol=2e-3
+            )
+        else:
+            assert float(plain[k]) == pytest.approx(
+                float(m8[k]), rel=1e-4, abs=1e-6
+            ), k
+
+    g_plain = jax.jit(task.generate)(
+        state0, {k: jnp.asarray(v) for k, v in batch_np.items()}, rng
+    )
+    g8 = engine.generate(state_r, sharded, rng)
+    np.testing.assert_allclose(
+        np.asarray(g_plain), np.asarray(g8), atol=2e-3
+    )
+
+
 def test_engine_epoch_on_mesh():
     """Engine runs a full epoch on the virtual mesh with mixed batch sizes."""
     import random as pyrandom

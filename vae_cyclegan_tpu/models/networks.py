@@ -115,7 +115,13 @@ class VariationalEncoderBlock(nn.Module):
         lv = SConv(self.latent_dim, dtype=self.dtype)(lv)
         logvar = jnp.clip(lv, -10.0, 10.0)
         std = jnp.exp(0.5 * logvar.astype(jnp.float32))
-        eps = jax.random.normal(self.make_rng("reparam"), std.shape, jnp.float32)
+        # dp_normal == jax.random.normal outside the engine's shard_map
+        # step; inside it, the noise is drawn at GLOBAL batch positions
+        # (and this shard's rows sliced) so the values are identical to
+        # the single-device program — see parallel.dp.
+        from vae_cyclegan_tpu.parallel.dp import dp_normal
+
+        eps = dp_normal(self.make_rng("reparam"), std.shape, jnp.float32)
         z = mu.astype(jnp.float32) + eps * std
         return z.astype(mu.dtype), mu, logvar
 

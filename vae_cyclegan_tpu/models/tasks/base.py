@@ -77,9 +77,17 @@ class Task:
         TPU equivalent of the reference's console dump of every parameter
         and gradient.
         Returns (params, opt_state, nan_detected_flag).
+
+        Data parallelism: under the engine's shard_map step (parallel.dp),
+        this is THE cross-device sync point — (loss, grads) are pmean'd
+        over the 'data' axis here, so the optimizer update below is
+        identical on every shard (params stay replicated) and the finite
+        gate takes the same branch everywhere (NaNs survive pmean).
         """
+        from vae_cyclegan_tpu.parallel import dp
         from vae_cyclegan_tpu.utils import nan_dump
 
+        loss, grads = dp.sync((loss, grads))
         finite = jnp.isfinite(loss)
 
         # lax.cond (not a branch-free masked select): the cond lets XLA

@@ -40,6 +40,17 @@ except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
 _EPS = 1e-5
+
+# When True (CPU tests / dryruns), the Pallas kernels run in interpreter
+# mode — mirrors ops.starved_conv.set_interpret so kernels-ON programs can
+# execute on the virtual CPU mesh.
+_INTERPRET = False
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(value)
+
 # One (H*W, C) f32 slab must fit ~16MB scoped VMEM alongside the output,
 # f32 intermediates (x, x^2, y) and the pipeline double-buffers — in
 # practice that caps the slab around 1MB (the 16x16x1024 bottleneck layers
@@ -202,11 +213,11 @@ def _pallas_in_act_tiled(x: jnp.ndarray, act: str, order: str, eps: float,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _fused_tpu_tiled(x, act, order, eps):
-    return _pallas_in_act_tiled(x, act, order, eps)
+    return _pallas_in_act_tiled(x, act, order, eps, interpret=_INTERPRET)
 
 
 def _fused_tpu_tiled_fwd(x, act, order, eps):
-    return _pallas_in_act_tiled(x, act, order, eps), x
+    return _pallas_in_act_tiled(x, act, order, eps, interpret=_INTERPRET), x
 
 
 # ---------------------------------------------------------------------------
@@ -216,11 +227,11 @@ def _fused_tpu_tiled_fwd(x, act, order, eps):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def _fused_tpu(x, act, order, eps):
-    return _pallas_in_act(x, act, order, eps)
+    return _pallas_in_act(x, act, order, eps, interpret=_INTERPRET)
 
 
 def _fused_tpu_fwd(x, act, order, eps):
-    return _pallas_in_act(x, act, order, eps), x
+    return _pallas_in_act(x, act, order, eps, interpret=_INTERPRET), x
 
 
 def _act_and_grad(act: str, x: jnp.ndarray):

@@ -4,11 +4,17 @@ The reference is strictly single-device (train.py:385; no torch.distributed
 anywhere — SURVEY.md §2.2). The TPU-native scaling story: a
 `jax.sharding.Mesh` with a 'data' axis (and optionally a 'spatial' axis);
 the batch dim is sharded on 'data', the image height dim on 'spatial', and
-params/optimizer state are replicated. The SPMD partitioner emits every
-collective inside the single jitted train step — gradient all-reduce over
-'data', conv halo exchanges (collective-permute) and InstanceNorm/loss
-moment all-reduces over 'spatial' — no NCCL analog, no user-visible
-communication code.
+params/optimizer state are replicated.
+
+Two lowerings consume these meshes (engine.Engine):
+  * 1-D 'data' meshes — the PRODUCTION path — run the whole step under
+    `jax.shard_map`: tensors inside are shard-local (the Pallas kernels
+    run per-device, no GSPMD partitioning rule needed) and the gradient
+    all-reduce is one explicit pmean (parallel.dp, Task._finite_update).
+  * 2-D (data x spatial) meshes lower through GSPMD jit: the partitioner
+    inserts conv halo exchanges (collective-permute) and InstanceNorm/
+    loss moment all-reduces over 'spatial' (kernels off by design).
+No NCCL analog, no user-visible communication code either way.
 
 Spatial partitioning is this model family's analog of sequence/context
 parallelism (there is no attention or sequence axis anywhere — SURVEY §5):
