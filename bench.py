@@ -23,7 +23,30 @@ import time
 import jax
 import jax.numpy as jnp
 
-REFERENCE_CPU_IMAGES_PER_SEC = 0.04589  # measured, see BASELINE.md
+REFERENCE_CPU_IMAGES_PER_SEC = 0.04589  # cyclevaegan, measured (BASELINE.md)
+
+
+def _reference_images_per_sec(arch: str) -> float:
+    """Per-config reference-CPU baseline (BASELINE.md tables). The flagship
+    number is pinned; the other config families come from the in-situ
+    measurements in docs/reference_baseline.json
+    (scripts/measure_reference_baseline.py)."""
+    if arch == "cyclevaegan":
+        return REFERENCE_CPU_IMAGES_PER_SEC
+    try:
+        import json as _json
+        from pathlib import Path as _Path
+
+        rows = _json.loads(
+            (_Path(__file__).parent / "docs" / "reference_baseline.json")
+            .read_text()
+        )
+        for row in rows:
+            if row["architecture"] == arch:
+                return float(row["images_per_sec"])
+    except (OSError, ValueError, KeyError):
+        pass
+    return REFERENCE_CPU_IMAGES_PER_SEC
 
 
 def main() -> None:
@@ -141,7 +164,9 @@ def main() -> None:
                   f"(G+D step, batch {batch}, {precision})",
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / REFERENCE_CPU_IMAGES_PER_SEC, 1),
+        "vs_baseline": round(
+            images_per_sec / _reference_images_per_sec(arch), 1
+        ),
         # window-amortized mean step time (1000*batch/median_window_rate);
         # kept under an honest name — the true device-side distribution
         # comes from the profiler trace below (VERDICT r3 weak 5)

@@ -206,7 +206,16 @@ def main(argv=None) -> int:
     parser.add_argument("--cycleaegan_steps", type=int, default=0,
                         help="also run N full CycleAEGAN steps at 256^2")
     parser.add_argument("--out", type=str, default="docs/parity_curves.json")
+    parser.add_argument("--platform", type=str, default="cpu",
+                        help="jax platform for the jax side (default cpu: "
+                             "exact f32 convs — TPU f32 convs use bf16 "
+                             "passes whose drift compounds over the "
+                             "recurrent 40-step parameter trajectory)")
     args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     results = []
     archs = [a for a in args.archs if a != "none"]

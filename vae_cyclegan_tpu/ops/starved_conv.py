@@ -74,6 +74,26 @@ def _rup(a: int, m: int) -> int:
     return -(-a // m) * m
 
 
+def _vmem_cap() -> int:
+    """Per-call VMEM budget (bytes) the R (rows-per-chunk) selection loops
+    stay under. Default 10 MB leaves headroom in the 16 MB/core scoped
+    space for Mosaic's own double-buffering; VCT_VMEM_CAP_MB raises it —
+    bigger R halves the grid-step count, amortizing the per-step slab
+    assembly and the starved-M (21-row) dots of the tail-class shapes."""
+    import os
+
+    return int(float(os.environ.get("VCT_VMEM_CAP_MB", "10")) * 2 ** 20)
+
+
+def _r_max() -> int:
+    """Starting rows-per-chunk for the R selection loops (halved until the
+    VMEM estimate fits `_vmem_cap`). Default 16; VCT_R_MAX=32/64 A/Bs
+    bigger chunks (fewer grid steps) together with VCT_VMEM_CAP_MB."""
+    import os
+
+    return int(os.environ.get("VCT_R_MAX", "16"))
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -333,11 +353,12 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
     out_w = wp - (k - 1)
     itemsize = jnp.dtype(x.dtype).itemsize
     direct = _direct_patch(k, cin)
-    R = 16
+    cap = _vmem_cap()
+    R = _r_max()
     while R > 4 and _conv_vmem_estimate(
             k=k, R=R, wp=wp, c_p=c_p, cout=cout, co_p=co_p, co_t=co_t,
             w_in=w_in, c=cin, out_w=out_w, itemsize=itemsize,
-            epilogue=bias is not None, direct=direct) > 10 * 2 ** 20:
+            epilogue=bias is not None, direct=direct) > cap:
         R //= 2
     # Reflect mode has no in-kernel row masking, so the main block may
     # not run past the input: R must divide h (h % 8 == 0 per
@@ -477,7 +498,8 @@ def _dw_call(x, g, *, k):
                                                            k * co_g)
     wp = w_in + 2 * p
     itemsize = jnp.dtype(x.dtype).itemsize
-    R = 16
+    cap = _vmem_cap()
+    R = _r_max()
 
     def est(R):
         L = R * wp
@@ -490,7 +512,7 @@ def _dw_call(x, g, *, k):
                 + 2 * (R + k - 1) * _rup(w_in, 128)
                 * (_rup(cin, 8) + _rup(cout, 8)) * itemsize)
 
-    while R > 4 and est(R) > 10 * 2 ** 20:
+    while R > 4 and est(R) > cap:
         R //= 2
     while R > 1 and h % R:  # Sx assembly is reflect mode: R must divide h
         R //= 2
