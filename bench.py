@@ -323,12 +323,16 @@ def _bench_loader_only(batch: int, image_size: int) -> dict:
                                     Path(td) / "img.cache")
         ).attach()
         try:
-            for w in workers:
+            # (w, raw): host-wire mode per worker count, plus raw_mode at
+            # 1 worker — raw ships full frames and moves crop/resize/flip
+            # on-device, so its host rate bounds what one core can feed a
+            # PCIe-attached slice (see ROADMAP round-4 feed arithmetic).
+            for w, raw in [(w, False) for w in workers] + [(1, True)]:
                 ds = HypersimDataset(
                     str(Path(td) / "hypersim"), ["depth", "normal"],
                     augment=AugmentConfig(out_size=image_size,
                                           hflip_p=0.5, vflip_p=0.3),
-                    paired_mode=False,
+                    paired_mode=False, raw_mode=raw,
                 )
                 loader = DataLoader(ds, batch, shuffle=True, num_workers=w,
                                     drop_last=True, prefetch=3)
@@ -349,7 +353,9 @@ def _bench_loader_only(batch: int, image_size: int) -> dict:
                                 break
                         if not saw:
                             raise RuntimeError("loader yielded no batches")
-                    rates[w] = batch * steps / (time.perf_counter() - t0)
+                    rates["1_raw" if raw else w] = (
+                        batch * steps / (time.perf_counter() - t0)
+                    )
                 finally:
                     loader.close()
         finally:

@@ -92,16 +92,23 @@ class Engine:
         self._use_shard_map = tuple(self.mesh.axis_names) == ("data",)
 
         # Replicated fallback (and the GSPMD path for spatial meshes).
+        # Named bodies (not lambdas) so profiler traces carry a
+        # "jit(_train_*)" module name bench._bench_step_distribution's
+        # event regex can find on every lowering.
+        def _train_gspmd(s, b):
+            return task.train_step(s, _prep(b))
+
+        def _eval_gspmd(s, b, r):
+            return task.eval_step(s, _prep(b), r)
+
+        def _generate_gspmd(s, b, r):
+            return task.generate(s, _prep(b), r)
+
         self._train_step_rep = jax.jit(
-            lambda s, b: task.train_step(s, _prep(b)),
-            donate_argnums=donate_args,
+            _train_gspmd, donate_argnums=donate_args,
         )
-        self._eval_step_rep = jax.jit(
-            lambda s, b, r: task.eval_step(s, _prep(b), r)
-        )
-        self._generate_rep = jax.jit(
-            lambda s, b, r: task.generate(s, _prep(b), r)
-        )
+        self._eval_step_rep = jax.jit(_eval_gspmd)
+        self._generate_rep = jax.jit(_generate_gspmd)
 
         if self._use_shard_map:
             # check_vma=False: the vma tracker cannot see through
