@@ -130,6 +130,41 @@ def test_packing_knobs_are_pure_layout(monkeypatch, knob):
         assert float(jnp.max(jnp.abs(a - b))) < 5e-5
 
 
+@pytest.mark.parametrize("cin,cout", [(64, 3), (3, 64)])
+def test_dw_wide_orientation_matches_classic(monkeypatch, cin, cout):
+    """The wide dw contraction (VCT_DW_WIDE=1 opt-in: both tap factors
+    on the narrow operand — see _dw_kernel_wide; measured slower e2e
+    than classic, kept as a documented negative result) is a pure
+    reassociation: it must reproduce the classic orientation's dw
+    exactly on the k7 64<->3 classes, the only shapes whose dot-block
+    cost model selects it (k*c_t > 128 spans 4 lane tiles)."""
+    h, w, k = 32, 40, 7
+    monkeypatch.setenv("VCT_DW_WIDE", "1")
+    x = jax.random.normal(jax.random.PRNGKey(21), (2, h, w, cin),
+                          jnp.float32)
+    wgt = jax.random.normal(jax.random.PRNGKey(22), (k, k, cin, cout),
+                            jnp.float32) * 0.1
+    cot = jax.random.normal(jax.random.PRNGKey(23), (2, h, w, cout),
+                            jnp.float32)
+
+    def run():
+        out = sc._starved_conv(x, wgt)
+        gx, gw = jax.grad(
+            lambda a, b: jnp.sum(sc._starved_conv(a, b) * cot),
+            argnums=(0, 1))(x, wgt)
+        return out, gx, gw
+
+    on = run()  # wide selected for these shapes
+    monkeypatch.setenv("VCT_DW_WIDE", "0")
+    off = run()
+    for a, b in zip(on, off):
+        # relative tolerance: wide REASSOCIATES the f32 accumulation
+        # (contraction over the padded-x/g domain instead of per-tap
+        # windows), so low-bit drift scales with the value magnitude
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * scale
+
+
 @pytest.mark.parametrize("h,w,cin,cout,k", [
     (32, 40, 3, 16, 7),   # low-cin k7: channel-padded sublanes + tail block
     (32, 32, 8, 16, 3),   # U4-like k3

@@ -474,6 +474,151 @@ def _dw_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, c_t, co_g,
         o_ref[...] = dwacc[...]
 
 
+def _dw_kernel_wide(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, c_t,
+                    co_g, gside, h, chunks, steps, dtype):
+    """Wide dw contraction for the starved k7 classes: BOTH spatial tap
+    factors live on one dot operand (N = k*k*narrow_channels rows of
+    shifted copies), the wide side streams unshifted as M.
+
+    Motivation (experiments/dw_dot_probe.py, v5e): Mosaic dot cost goes
+    as ceil(M/128)*ceil(N/128)*K, so the classic (k*c, k*co) split costs
+    4 lane-tiles x K at the 64<->3 shapes while this form costs
+    2 tiles x ~1.38K (gside) / 2 tiles x K (xside) — measured 2.11 ms vs
+    3.00 ms dot-only at the tail shape, and the narrow side's slab
+    assembly halves (the wide side needs NO shifted copies at all).
+
+    gside=True  (c_t >= co_g, e.g. tail 64->3): contract over the
+      padded-x domain Mx=(R+k-1)*wp; N rows are g shifted by dy*wp+dx
+      (g slab front-padded so every shift is a static left slice).
+    gside=False (head 3->64): contract over the g domain L=R*wp; N rows
+      are x-slab slices starting at dy*wp+dx (all shifts non-negative,
+      the standard slab already contains them)."""
+    xmain_ref = refs[0]
+    xrow_refs = refs[1:k]
+    gmain_ref = refs[k]
+    o_ref = refs[k + 1]
+    Sx = refs[k + 2]
+    Sg = refs[k + 3]
+    dwacc = refs[k + 4]
+    NW = refs[k + 5]
+
+    step = pl.program_id(0)
+    _assemble_slab(Sx, xmain_ref, xrow_refs, k=k, p=p, R=R, w_in=w_in,
+                   wp=wp, c=c, reflect=True, h=h, chunks=chunks)
+
+    L = R * wp
+    Mx = (R + k - 1) * wp
+    off = (k - 1) * wp + (k - 1)  # g slab front pad: max shift
+    zrow = jnp.zeros((cout, wp - w_in), dtype)
+    Sg[:, 0:off] = jnp.zeros((co_p, off), dtype)
+    for r in range(R):
+        Sg[0:cout, off + r * wp:off + (r + 1) * wp] = (
+            jnp.concatenate([gmain_ref[0, r], zrow], axis=1))
+    Sg[:, off + L:] = jnp.zeros((co_p, Sg.shape[1] - off - L), dtype)
+
+    if gside:
+        for dy in range(k):
+            for dx in range(k):
+                sh = dy * wp + dx
+                NW[(dy * k + dx) * co_g:(dy * k + dx + 1) * co_g, :] = (
+                    Sg[0:co_g, off - sh:off - sh + Mx])
+        part = jax.lax.dot_general(
+            Sx[0:c_t, 0:Mx], NW[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (c_t, k*k*co_g)
+    else:
+        for dy in range(k):
+            for dx in range(k):
+                sh = dy * wp + dx
+                NW[(dy * k + dx) * c_t:(dy * k + dx + 1) * c_t, :] = (
+                    Sx[0:c_t, sh:sh + L])
+        part = jax.lax.dot_general(
+            Sg[0:co_g, off:off + L], NW[...],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (co_g, k*k*c_t)
+
+    @pl.when(step == 0)
+    def _():
+        dwacc[...] = jnp.zeros_like(dwacc)
+
+    dwacc[...] = dwacc[...] + part
+
+    @pl.when(step == steps - 1)
+    def _():
+        o_ref[...] = dwacc[...]
+
+
+def _dw_call_wide(x, g, *, k, gside):
+    """pallas_call wrapper for `_dw_kernel_wide` (see selection logic in
+    `_dw_call`)."""
+    n, h, cin, w_in = x.shape
+    cout = g.shape[2]
+    p = k // 2
+    c_p = _rup(max(cin, 1), 8)
+    co_p = _rup(cout, 8)
+    c_t = _tight_co(cin)
+    co_g = _tight_co(cout)
+    wp = w_in + 2 * p
+    itemsize = jnp.dtype(x.dtype).itemsize
+    narrow = co_g if gside else c_t
+    wide = c_t if gside else co_g
+    nw_rows = k * k * narrow
+    cap = _vmem_cap()
+    R = _r_max()
+
+    def est(R):
+        L = R * wp
+        Mx = (R + k - 1) * wp
+        off = (k - 1) * wp + (k - 1)
+        Kw = Mx if gside else L
+        return (c_p * (Mx + 128) * itemsize                     # Sx
+                + co_p * (off + Mx + 128) * itemsize            # Sg
+                + nw_rows * Kw * itemsize                       # NW
+                + 2 * _rup(wide, 8) * nw_rows * 4               # acc+part
+                + 2 * (R + k - 1) * _rup(w_in, 128)
+                * (_rup(cin, 8) + _rup(cout, 8)) * itemsize)
+
+    while R > 4 and est(R) > cap:
+        R //= 2
+    while R > 1 and h % R:
+        R //= 2
+    chunks = _cdiv(h, R)
+    steps = n * chunks
+    L = R * wp
+    Mx = (R + k - 1) * wp
+    off = (k - 1) * wp + (k - 1)
+    Kw = Mx if gside else L
+
+    specs = _row_specs(n=n, h=h, w_in=w_in, c=cin, R=R, chunks=chunks,
+                       p=p, k=k, reflect=True)
+    specs.append(pl.BlockSpec((1, R, cout, w_in),
+                              lambda s: (s // chunks, s % chunks, 0, 0),
+                              memory_space=pltpu.VMEM))
+    kern = functools.partial(
+        _dw_kernel_wide, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
+        cout=cout, co_p=co_p, c_t=c_t, co_g=co_g, gside=gside, h=h,
+        chunks=chunks, steps=steps, dtype=x.dtype)
+    raw = _pallas(
+        kern,
+        grid=(steps,),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((wide, nw_rows), lambda s: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((wide, nw_rows), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c_p, Mx + 128), x.dtype),
+            pltpu.VMEM((co_p, off + Mx + 128), x.dtype),
+            pltpu.VMEM((wide, nw_rows), jnp.float32),
+            pltpu.VMEM((nw_rows, Kw), x.dtype),
+        ],
+    )(*([x] * k), g)
+    if gside:  # raw (c_t, k, k, co_g)
+        dw = raw.reshape(c_t, k, k, co_g).transpose(1, 2, 0, 3)
+    else:      # raw (co_g, k, k, c_t)
+        dw = raw.reshape(co_g, k, k, c_t).transpose(1, 2, 3, 0)
+    return dw[:, :, :cin, :cout]
+
+
 def _dw_call(x, g, *, k):
     """dw (k, k, cin, cout) f32 of conv(reflect_pad(x, k//2), w) wrt w.
     x, g are channel-major (N, H, C, W) / (N, H, CO, W).
@@ -491,6 +636,26 @@ def _dw_call(x, g, *, k):
     co_p = _rup(cout, 8)
     c_t = _tight_co(cin)
     co_g = _tight_co(cout)
+    wp = w_in + 2 * p
+    # Wide orientation — MEASURED AND RETIRED as a default (ROADMAP
+    # round 4): both tap factors on the narrow side cut the dot from 4
+    # lane tiles x Lp to 2 x ~1.38Lp (3.00 -> 2.11 ms dot-only,
+    # experiments/dw_dot_probe.py), but staging the k^2*narrow = 147-row
+    # N matrix costs ~147*Mx*itemsize of VMEM writes at 8-sublane store
+    # amplification (co_g=3-row stores), which eats the win: slope-timed
+    # dw calls measure tail 3.47 (classic) vs 3.76 (wide), head 1.32 vs
+    # 1.42. Classic's main staging volume is 64-row sublane-ALIGNED —
+    # that asymmetry, not the dot shape, decides. VCT_DW_WIDE=1 opts in.
+    import os as _os
+
+    if _os.environ.get("VCT_DW_WIDE") == "1":
+        narrow, wide_side = min(c_t, co_g), max(c_t, co_g)
+        _L, _Lp, _Mx = 16 * wp, 16 * wp + k - 1, (16 + k - 1) * wp
+        cost_classic = _cdiv(k * c_t, 128) * _cdiv(k * co_g, 128) * _Lp
+        cost_wide = (_cdiv(wide_side, 128) * _cdiv(k * k * narrow, 128)
+                     * (_Mx if c_t >= co_g else _L))
+        if cost_wide < cost_classic:
+            return _dw_call_wide(x, g, k=k, gside=c_t >= co_g)
     cost_orig = k * c_t * _cdiv(k * co_g, 128)
     cost_swap = k * co_g * _cdiv(k * c_t, 128)
     swap = _knob("VCT_DW_SWAP") and cost_swap < cost_orig
