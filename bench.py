@@ -33,6 +33,8 @@ def _reference_images_per_sec(arch: str) -> float:
     (scripts/measure_reference_baseline.py)."""
     if arch == "cyclevaegan":
         return REFERENCE_CPU_IMAGES_PER_SEC
+    if arch == "autoencoder":
+        return 0.316  # round-1 in-situ measurement (BASELINE.md)
     try:
         import json as _json
         from pathlib import Path as _Path
