@@ -161,9 +161,13 @@ def main() -> None:
         rates.append(batch * steps / (time.perf_counter() - t0))
     images_per_sec = sorted(rates)[1]  # median window
 
+    # archs without a discriminator run a plain generator step
+    step_kind = ("G+D step" if arch in
+                 ("aegan", "vaegan", "cycleaegan", "cyclevaegan", "gan")
+                 else "train step")
     result = {
         "metric": f"{arch} {image_size}x{image_size} train images/sec/chip "
-                  f"(G+D step, batch {batch}, {precision})",
+                  f"({step_kind}, batch {batch}, {precision})",
         "value": round(images_per_sec, 3),
         "unit": "images/sec",
         "vs_baseline": round(
