@@ -358,3 +358,32 @@ def test_ublock_fused_path_matches_legacy(monkeypatch):
         assert float(np.max(np.abs(a - ref))) <= bound
 
     jax.tree_util.tree_map(close, g_on, g_off)
+
+
+def test_encoder_head_cm_path_matches_xla(monkeypatch):
+    """Full Encoder with the head -> IN -> D1 channel-major handover
+    engaged (VCT_HEAD_CM=1, interpret kernels) must match the pure-XLA
+    encoder — values and parameter gradients."""
+    import numpy as np
+
+    from vae_cyclegan_tpu.models.networks import Encoder
+
+    monkeypatch.setenv("VCT_HEAD_CM", "1")
+    enc = Encoder(base_width=8, use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3),
+                          jnp.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(jnp.square(enc.apply(p, x)))
+
+    got, g_got = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("VCT_STARVED_CONV", "0")
+    monkeypatch.setenv("VCT_HEAD_CM", "0")
+    want, g_want = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+    flat_got = jax.tree_util.tree_leaves(g_got)
+    flat_want = jax.tree_util.tree_leaves(g_want)
+    for a, b in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)

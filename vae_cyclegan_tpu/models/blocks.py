@@ -145,15 +145,19 @@ class ReflectConv(nn.Module):
         dtype = self.dtype or x.dtype
         xc = x.astype(dtype)
         kc = kernel.astype(dtype)
+        cm_x = self.cm_in
         if self.resample == "down2":
-            if block_conv.down2_applicable(xc.shape):
-                y = block_conv.down2_conv(xc, kc)
+            if block_conv.down2_applicable(nhwc_shape):
+                y = block_conv.down2_conv(xc, kc, cm_in=cm_x)
                 if self.cm_out:
                     y = _to_cm(y)
                 return ret(_bias(y, bias, self.cm_out))
-            xc = pixel_unshuffle(xc, 2)
+            xc = pixel_unshuffle(_to_nhwc(xc) if cm_x else xc, 2)
+            cm_x = False
             nhwc_shape = xc.shape
         elif self.resample == "up2":
+            if cm_x:  # no cm-in up2 form; normalize (no production site)
+                xc, cm_x = _to_nhwc(xc), False
             if block_conv.up2_applicable(xc.shape, self.cm_out):
                 y = block_conv.up2_conv(xc, kc, cm_out=self.cm_out)
                 return ret(_bias(y, bias, self.cm_out))
@@ -161,7 +165,7 @@ class ReflectConv(nn.Module):
             nhwc_shape = xc.shape
         same = self.stride == 1 and self.padding == self.kernel_size // 2
         if same and cm_engaged(nhwc_shape, kc.shape, dtype):
-            xt = xc if self.cm_in else _to_cm(xc)
+            xt = xc if cm_x else _to_cm(xc)
             if (self.fuse_in_relu and self.cm_out and bias is not None
                     and starved_conv.epilogue_in_enabled()):
                 return starved_conv.fused_conv_in_relu_cm(xt, kc, bias), True
@@ -169,7 +173,7 @@ class ReflectConv(nn.Module):
             y = yt if self.cm_out else _to_nhwc(yt)
             cm_y = self.cm_out
         else:
-            xn = _to_nhwc(xc) if self.cm_in else xc
+            xn = _to_nhwc(xc) if cm_x else xc
             if same:
                 y = starved_reflect_conv(xn, kc)
             else:
@@ -204,6 +208,9 @@ class CaSb(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
     cm_in: bool = False  # input arrives channel-major (N, H, C, W)
+    # cm_out: emit channel-major — set by Encoder on the head conv when
+    # the following DBlock consumes cm (head -> IN -> down2 handover)
+    cm_out: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -216,10 +223,12 @@ class CaSb(nn.Module):
             kernel_init_nonlinearity=self.kernel_init_nonlinearity,
             dtype=self.dtype,
             cm_in=self.cm_in,
+            cm_out=self.cm_out,
         )(x)
         if self.use_norm:
             return instance_norm_act(
-                x, act=act, order="norm_act", use_pallas=self.use_pallas
+                x, act=act, order="norm_act", use_pallas=self.use_pallas,
+                channel_major=self.cm_out,
             )
         if act == "identity":
             return x
@@ -233,16 +242,22 @@ def _apply_act(x: jnp.ndarray, act: str) -> jnp.ndarray:
 
 
 class DBlock(nn.Module):
-    """PixelUnshuffle(2) -> conv3x3(in*4 -> out) -> ReLU -> IN (Networks.py:83-96)."""
+    """PixelUnshuffle(2) -> conv3x3(in*4 -> out) -> ReLU -> IN (Networks.py:83-96).
+
+    cm_in: input is channel-major (N, H, C, W) — set by Encoder on D1
+    when the head conv took the Pallas path, so the head's output rides
+    its kernel-native layout into the down2 conv with no transpose.
+    """
 
     features: int
     use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
+    cm_in: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = ReflectConv(self.features, 3, 1, 1, dtype=self.dtype,
-                        resample="down2")(x)
+                        resample="down2", cm_in=self.cm_in)(x)
         return instance_norm_act(x, act="relu", order="act_norm", use_pallas=self.use_pallas)
 
 

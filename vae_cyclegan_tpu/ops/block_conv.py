@@ -89,10 +89,13 @@ def _w6_from_w3(w3: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(2 * k, 2 * k, c, f)
 
 
-def _coarse_mirror2(x: jnp.ndarray) -> jnp.ndarray:
+def _coarse_mirror2(x: jnp.ndarray, w_axis: int = 2) -> jnp.ndarray:
     """Reflect pad of ONE coarse pixel, expressed on the fine grid: the
-    coarse reflect row -1 is coarse row 1 = fine rows (2, 3)."""
+    coarse reflect row -1 is coarse row 1 = fine rows (2, 3). H is
+    always axis 1; w_axis=3 handles channel-major (N, H, C, W) input."""
     x = jnp.concatenate([x[:, 2:4], x, x[:, -4:-2]], axis=1)
+    if w_axis == 3:
+        return jnp.concatenate([x[..., 2:4], x, x[..., -4:-2]], axis=3)
     return jnp.concatenate([x[:, :, 2:4], x, x[:, :, -4:-2]], axis=2)
 
 
@@ -101,16 +104,37 @@ def down2_applicable(fine_shape) -> bool:
     return forms_enabled("down") and h >= 4 and w >= 4 and h % 2 == 0 and w % 2 == 0
 
 
-def down2_conv(x: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
+def head_cm_enabled() -> bool:
+    """VCT_HEAD_CM gates the encoder head->IN->down2 channel-major
+    handover (head starved-conv emits (N, H, C, W), InstanceNorm rides
+    the layout, down2 consumes it via NHCW dimension numbers), eliding
+    the head boundary transpose from the graph. Default OFF pending the
+    composed-step A/B on v5e."""
+    return os.environ.get("VCT_HEAD_CM", "0") == "1"
+
+
+def down2_conv(x: jnp.ndarray, w3: jnp.ndarray,
+               cm_in: bool = False) -> jnp.ndarray:
     """== reflect_conv(pixel_unshuffle(x, 2), w3); x fine NHWC,
-    w3 (3, 3, 4c, f).
+    w3 (3, 3, 4c, f).  cm_in: x arrives channel-major (N, H, C, W) from
+    an adjacent starved-conv site; the conv consumes it directly via
+    ("NHCW", "HWIO", "NHWC") dimension numbers, so the logical boundary
+    transpose never appears in the graph (any physical relayout folds
+    into the mirror-pad concatenate XLA materializes anyway). Output is
+    NHWC either way (the following D2..D4 sites are XLA convs).
 
     The backward stays on XLA autodiff deliberately: a custom VJP
     computing dx in the coarse (unshuffled) domain — dense k3 full
     correlation + reflect fold + bf16 pixel-shuffle — measured 61.4 vs
     65.9 img/s on the flagship (round 3), losing to XLA's input-dilated
     ReverseInput fusion of the w6/stride-2 form."""
-    return _conv(_coarse_mirror2(x), _w6_from_w3(w3).astype(x.dtype), (2, 2))
+    w6 = _w6_from_w3(w3).astype(x.dtype)
+    if cm_in:
+        return jax.lax.conv_general_dilated(
+            _coarse_mirror2(x, w_axis=3), w6, (2, 2), "VALID",
+            dimension_numbers=("NHCW", "HWIO", "NHWC"),
+        )
+    return _conv(_coarse_mirror2(x), w6, (2, 2))
 
 
 # ---------------------------------------------------------------------------
