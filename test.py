@@ -259,6 +259,10 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
         ssim_sums = {n: 0.0 for n in models}
         grids: Dict[str, List[Dict[str, np.ndarray]]] = {n: [] for n in models}
 
+        # figure count is capped independently of the metric sample count
+        # (reference test.py:714-715: --num_comparison_figures, default 10
+        # — metrics still average over all num_samples)
+        n_figs = getattr(args, "num_comparison_figures", None)
         for i, batch in enumerate(loader):
             batch = normalize_batch_keys(batch)
             x, y = batch["x"][0], batch["y"][0]
@@ -271,9 +275,11 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
                 psnr_sums[name] += metrics.psnr(gxc, y)
                 ssim_sums[name] += metrics.ssim(gxc, y)
                 grids[name].append({"x": x, "Gx": gx, "y": y})
-            save_comparison_figure(
-                i, x, y, outputs, out_dir / f"comparison_sample_{i:03d}.png"
-            )
+            if n_figs is None or i < n_figs:
+                save_comparison_figure(
+                    i, x, y, outputs,
+                    out_dir / f"comparison_sample_{i:03d}.png",
+                )
             summary["num_samples"] += 1
 
         for name in models:
@@ -301,12 +307,29 @@ def evaluate_model_group(dataset_name: str, runs: List[Dict], args) -> None:
 
         with open(out_dir / "summary.json", "w") as f:
             json.dump(summary, f, indent=2)
-        print(f"  wrote {summary['num_samples']} comparison figures + "
-              f"summary.json to {out_dir}")
+        n_figs_written = summary["num_samples"] if n_figs is None \
+            else min(n_figs, summary["num_samples"])
+        print(f"  wrote {n_figs_written} comparison figure(s) over "
+              f"{summary['num_samples']} sample(s) + summary.json to "
+              f"{out_dir}")
 
 
 def evaluate_models(args) -> None:
     runs = discover_runs(args.runs_dir)
+    # reference filter surface (test.py:706-711): --architectures keeps
+    # only the named model families; --dataset_filter keeps only runs
+    # trained on that dataset
+    arch_filter = getattr(args, "architectures", None)
+    if arch_filter:
+        runs = [r for r in runs
+                if r["args"].get("architecture") in set(arch_filter)]
+        print(f"Architecture filter {sorted(set(arch_filter))}: "
+              f"{len(runs)} run(s) kept")
+    ds_filter = getattr(args, "dataset_filter", None)
+    if ds_filter:
+        runs = [r for r in runs
+                if r["args"].get("dataset", "hypersim") == ds_filter]
+        print(f"Dataset filter {ds_filter!r}: {len(runs)} run(s) kept")
     if not runs:
         print("No completed runs found.")
         return
@@ -326,6 +349,17 @@ if __name__ == "__main__":
     parser.add_argument("--output_dir", type=str, default="test_results")
     parser.add_argument("--num_samples", type=int, default=8,
                         help="Test samples per comparison group")
+    # Filter options (reference test.py:706-711)
+    parser.add_argument("--architectures", type=str, nargs="+", default=None,
+                        help="Filter to specific architectures "
+                             "(e.g. autoencoder vae aegan)")
+    parser.add_argument("--dataset_filter", type=str, default=None,
+                        choices=["hypersim", "summer2winter", "maps"],
+                        help="Only evaluate models trained on this dataset")
+    parser.add_argument("--num_comparison_figures", type=int, default=10,
+                        help="Max side-by-side comparison figures to write "
+                             "(metrics still average over --num_samples; "
+                             "reference test.py:714-715)")
     parser.add_argument("--fid", action="store_true",
                         help="also report FID vs targets (needs "
                              "--fid_weights)")

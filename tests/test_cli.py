@@ -146,6 +146,44 @@ def test_pretrain_transfer_pipeline(data_root, tmp_path):
         train_cli.main(bad_args)
 
 
+def test_pretrain_transfer_pipeline_doublevae(data_root, tmp_path):
+    """doublevae pretraining -> cyclevaegan --pretrained_doublevae, the full
+    CLI chain the reference runs at train.py:443-460 + utils.py:124-239:
+    the transfer sanity asserts (G holds B components, F holds A) run inside
+    load_pretrained_doublevae_to_cycle, and the downstream flagship epoch
+    must produce finite losses."""
+    import math
+
+    import train as train_cli
+
+    out_root = tmp_path / "runs"
+    pre_args = _train_args(data_root, out_root, epochs=1)
+    pre_args.architecture = "doublevae"
+    pre_args.source_modality, pre_args.target_modality = "depth", "normal"
+    pre_run = train_cli.main(pre_args)
+    pre_meta = json.loads(
+        (pre_run / "checkpoint_epoch_1" / "meta.json").read_text()
+    )
+    assert math.isfinite(pre_meta["loss"])
+
+    cyc_args = _train_args(data_root, out_root, epochs=1)
+    cyc_args.architecture = "cyclevaegan"
+    cyc_args.source_modality, cyc_args.target_modality = "depth", "normal"
+    cyc_args.pretrained_doublevae = str(pre_run / "checkpoint_epoch_1")
+    cyc_run = train_cli.main(cyc_args)
+    assert (cyc_run / "checkpoint_epoch_1").is_dir()
+    cyc_meta = json.loads(
+        (cyc_run / "checkpoint_epoch_1" / "meta.json").read_text()
+    )
+    assert math.isfinite(cyc_meta["loss"])
+
+    # wrong-architecture guard (reference train.py:453-455 semantics)
+    bad_args = _train_args(data_root, out_root, epochs=1)
+    bad_args.pretrained_doublevae = str(pre_run / "checkpoint_epoch_1")
+    with pytest.raises(ValueError, match="pretrained_doublevae"):
+        train_cli.main(bad_args)
+
+
 def test_eval_driver_legacy_ab_batch_keys():
     """The eval driver accepts legacy 'A'/'B' batch keys (reference
     test.py:301-303)."""
@@ -170,6 +208,49 @@ def test_eval_driver_legacy_ab_batch_keys():
     # modern batches pass through untouched
     modern = {"x": a, "y": b}
     assert mod.normalize_batch_keys(modern) is modern
+
+
+def test_eval_driver_architecture_and_dataset_filters(monkeypatch):
+    """--architectures / --dataset_filter route only matching runs into
+    evaluation (reference test.py:706-711)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "eval_driver_f", Path(__file__).resolve().parents[1] / "test.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fake_runs = [
+        {"run_dir": Path(n), "name": n, "checkpoint": Path(n) / "best_model",
+         "args": {"architecture": a, "dataset": d}}
+        for n, a, d in [
+            ("r1", "vae", "hypersim"),
+            ("r2", "aegan", "hypersim"),
+            ("r3", "vae", "maps"),
+        ]
+    ]
+    monkeypatch.setattr(mod, "discover_runs", lambda d: list(fake_runs))
+    routed = []
+    monkeypatch.setattr(
+        mod, "evaluate_model_group",
+        lambda ds, group, args: routed.append((ds, sorted(r["name"] for r in group))),
+    )
+
+    def _args(**kw):
+        base = {"runs_dir": ".", "architectures": None, "dataset_filter": None}
+        base.update(kw)
+        return type("A", (), base)()
+
+    mod.evaluate_models(_args(architectures=["vae"]))
+    assert routed == [("hypersim", ["r1"]), ("maps", ["r3"])]
+    routed.clear()
+    mod.evaluate_models(_args(dataset_filter="maps"))
+    assert routed == [("maps", ["r3"])]
+    routed.clear()
+    mod.evaluate_models(_args(architectures=["aegan"], dataset_filter="maps"))
+    assert routed == []  # both filters: nothing qualifies
 
 
 def test_metrics_ssim_psnr_properties():

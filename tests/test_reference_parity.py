@@ -471,6 +471,167 @@ def test_cyclevaegan_full_step_shared_noise_parity(ref):
     assert noise.t_used == noise.j_used == 12
 
 
+def test_doubleae_full_step_parity(ref):
+    """DoubleAutoencoder (ref Networks.py:502-543): shared encoder, dual
+    reconstruction, one Adam over all params. Same weights + same batch =>
+    same per-modality losses, and a 6-step trajectory must track torch's
+    loss curve (the pretraining feeder for CycleAE/CycleAEGAN — an error
+    here silently poisons four downstream architectures)."""
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig, OptimConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+
+    torch.manual_seed(61)
+    tm = ref.DoubleAutoencoder()
+    tm.configure_optimizers(lr=2e-4)
+    tm.configure_loss()
+
+    task = create_task(
+        "doubleae",
+        model=ModelConfig(image_size=64, base_width=64, use_pallas=False),
+        optim=OptimConfig(lr=2e-4),
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state = load_into_state(state, "doubleae", _np_sd(tm))
+
+    rng = np.random.RandomState(67)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.rand(2, 64, 64, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+
+    # validation semantics on IDENTICAL weights (before any update): the
+    # cross translations Gx=translate_A_to_B(x), Fy=translate_B_to_A(y)
+    # (ref Networks.py:568-579) route through decoder_B / decoder_A
+    tm.eval()
+    with torch.no_grad():
+        t_gx = tm.translate_A_to_B(tx).numpy()
+        t_fy = tm.translate_B_to_A(ty).numpy()
+    j_eval = task.eval_step(state, batch, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(j_eval["Gx"]), (0, 3, 1, 2)), t_gx,
+        atol=5e-3, rtol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(j_eval["Fy"]), (0, 3, 1, 2)), t_fy,
+        atol=5e-3, rtol=1e-2,
+    )
+    tm.train()
+
+    step = jax.jit(task.train_step)
+    for i in range(6):
+        t_metrics = tm.training_step({"x": tx, "y": ty})
+        state, j_metrics = step(state, batch)
+        tol = 5e-4 if i == 0 else 1e-2 * i  # float drift compounds
+        for key in ("G_loss", "loss_recon_A", "loss_recon_B"):
+            assert float(j_metrics[key]) == pytest.approx(
+                t_metrics[key], rel=tol, abs=5e-4
+            ), f"{key} diverged at step {i}"
+
+
+def test_doublevae_full_step_shared_noise_parity(ref):
+    """DoubleVAE (ref Networks.py:764-808): recon_A + recon_B +
+    lambda_kl*(KL_A + KL_B), 2 eps draws per step in the order
+    vae_block_A(enc(x)), vae_block_B(enc(y)). Two full steps with shared
+    recorded noise => every metric matches (the pretraining feeder for
+    CycleVAE/CycleVAEGAN)."""
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig, OptimConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+
+    torch.manual_seed(62)
+    tm = ref.DoubleVariationalAutoencoder(latent_dim=64)
+    tm.configure_optimizers(lr=2e-4)
+    tm.configure_loss(lambda_kl=1e-5)
+
+    task = create_task(
+        "doublevae",
+        model=ModelConfig(image_size=64, base_width=64, latent_dim=64,
+                          use_pallas=False),
+        optim=OptimConfig(lr=2e-4),
+    )
+    state = task.init_state(jax.random.PRNGKey(0))
+    state = load_into_state(state, "doublevae", _np_sd(tm))
+
+    rng = np.random.RandomState(71)
+    x = rng.rand(2, 64, 64, 3).astype(np.float32)
+    y = rng.rand(2, 64, 64, 3).astype(np.float32)
+    tx = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    ty = torch.from_numpy(np.transpose(y, (0, 3, 1, 2)))
+    batch = {"x": jnp.asarray(x), "y": jnp.asarray(y)}
+
+    tols = {
+        "G_loss": 2e-3,
+        "loss_recon_A": 1e-3,
+        "loss_recon_B": 1e-3,
+        "loss_kl": 5e-2,   # enters G_loss at 1e-5 weight, scale ~1e2
+        "loss_kl_A": 5e-2,
+        "loss_kl_B": 5e-2,
+    }
+    with _SharedNoise(torch, (2, 64, 4, 4), count=4, seed=73) as noise:
+        for step_i in range(2):
+            t_metrics = tm.training_step({"x": tx, "y": ty})
+            # fresh jit per step: each trace pops this step's eps constants
+            state, j_metrics = jax.jit(task.train_step)(state, batch)
+            for key, tol in tols.items():
+                assert float(j_metrics[key]) == pytest.approx(
+                    t_metrics[key], abs=tol, rel=2e-3 * (step_i + 1)
+                ), f"{key} diverged at step {step_i}"
+    assert noise.t_used == noise.j_used == 4
+
+
+def test_doublevae_transfer_matches_reference_surgery(ref):
+    """Our DoubleVAE->CycleVAE param surgery (utils/transfer.py) lands the
+    SAME weights as the reference's own create_cycle_vae (Networks.py:714-741
+    — identical mapping to utils.py:124-239): importing the torch-made
+    CycleVAE equals transferring the imported DoubleVAE params."""
+    import torch
+
+    from vae_cyclegan_tpu.config import ModelConfig
+    from vae_cyclegan_tpu.models.tasks import create_task
+    from vae_cyclegan_tpu.utils.torch_import import load_into_state
+    from vae_cyclegan_tpu.utils.transfer import (
+        load_pretrained_doublevae_to_cycle,
+    )
+
+    torch.manual_seed(63)
+    tm = ref.DoubleVariationalAutoencoder(latent_dim=64)
+    t_cycle = tm.create_cycle_vae()
+
+    mc = ModelConfig(image_size=64, base_width=64, latent_dim=64,
+                     use_pallas=False)
+    dtask = create_task("doublevae", model=mc)
+    dstate = dtask.init_state(jax.random.PRNGKey(0))
+    dstate = load_into_state(dstate, "doublevae", _np_sd(tm))
+
+    ctask = create_task("cyclevae", model=mc, paired=True)
+    cstate = ctask.init_state(jax.random.PRNGKey(1))
+    # path A: our transfer surgery on the imported DoubleVAE params
+    transferred = load_pretrained_doublevae_to_cycle(
+        cstate, dstate.params["model"]
+    )
+    # path B: the reference's own surgery, then a straight import
+    oracle = load_into_state(cstate, "cyclevae", _np_sd(t_cycle))
+
+    flat_a = jax.tree_util.tree_leaves_with_path(transferred.params)
+    flat_b = {
+        jax.tree_util.keystr(p): l
+        for p, l in jax.tree_util.tree_leaves_with_path(oracle.params)
+    }
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_b[jax.tree_util.keystr(path)]),
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 # ---------------------------------------------------------------------------
 # importer round-trip (VERDICT r1 item 5): a real reference .pth (built by
 # the reference's own utils.save_checkpoint, utils.py:17-28) imported via

@@ -368,10 +368,18 @@ def test_encoder_head_cm_path_matches_xla(monkeypatch):
 
     from vae_cyclegan_tpu.models.networks import Encoder
 
+    from vae_cyclegan_tpu.ops import block_conv
+
     monkeypatch.setenv("VCT_HEAD_CM", "1")
     enc = Encoder(base_width=8, use_pallas=False)
     x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3),
                           jnp.float32)
+    # guard against a vacuous pass: the shared handover predicate (the
+    # one Encoder consults — ops/block_conv.head_down2_handover) must
+    # actually engage for this shape, or the test would compare the XLA
+    # path to itself and stay green through a gating regression
+    assert block_conv.head_down2_handover((1, 32, 32, 3), 8, 7,
+                                          jnp.float32)
     params = enc.init(jax.random.PRNGKey(0), x)
 
     def loss(p):

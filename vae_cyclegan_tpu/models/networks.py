@@ -47,18 +47,16 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from vae_cyclegan_tpu.ops import block_conv
-        from vae_cyclegan_tpu.ops.starved_conv import cm_engaged
 
         w = self.base_width
         # head -> IN -> D1 handover: when the k7 head conv takes the
         # Pallas path AND D1 runs the down2 block-conv form, the head
         # output stays channel-major through the IN and D1 consumes it
-        # via NHCW dimension numbers — no boundary transpose in the graph
-        n, h, wd, cin = x.shape
+        # via NHCW dimension numbers — no boundary transpose in the graph.
+        # The predicate is the shared single source of truth with
+        # ReflectConv's dispatch (ops/block_conv.head_down2_handover).
         dtype = self.dtype or x.dtype
-        cm = (block_conv.head_cm_enabled()
-              and cm_engaged((n, h, wd, cin), (7, 7, cin, w), dtype)
-              and block_conv.down2_applicable((n, h, wd, w)))
+        cm = block_conv.head_down2_handover(x.shape, w, 7, dtype)
         x = CaSb(w, kernel_size=7, stride=1, padding=3,
                  use_pallas=self.use_pallas, dtype=self.dtype,
                  cm_out=cm)(x)

@@ -92,7 +92,10 @@ def _w6_from_w3(w3: jnp.ndarray) -> jnp.ndarray:
 def _coarse_mirror2(x: jnp.ndarray, w_axis: int = 2) -> jnp.ndarray:
     """Reflect pad of ONE coarse pixel, expressed on the fine grid: the
     coarse reflect row -1 is coarse row 1 = fine rows (2, 3). H is
-    always axis 1; w_axis=3 handles channel-major (N, H, C, W) input."""
+    always axis 1; w_axis=2 is NHWC, w_axis=3 is channel-major
+    (N, H, C, W) — anything else is a caller bug, not a layout."""
+    if w_axis not in (2, 3):
+        raise ValueError(f"w_axis must be 2 (NHWC) or 3 (NHCW), got {w_axis}")
     x = jnp.concatenate([x[:, 2:4], x, x[:, -4:-2]], axis=1)
     if w_axis == 3:
         return jnp.concatenate([x[..., 2:4], x, x[..., -4:-2]], axis=3)
@@ -111,6 +114,27 @@ def head_cm_enabled() -> bool:
     the head boundary transpose from the graph. Default OFF pending the
     composed-step A/B on v5e."""
     return os.environ.get("VCT_HEAD_CM", "0") == "1"
+
+
+def head_down2_handover(x_shape, features: int, kernel_size: int,
+                        dtype) -> bool:
+    """True iff the head CaSb(k=kernel_size) -> IN -> DBlock(down2) chain
+    stays channel-major end to end for input `x_shape` (NHWC): the head
+    conv engages the Pallas cm path (ReflectConv dispatch: same-conv +
+    `cm_engaged`) AND the following down2 block-conv form applies to the
+    head's output. Single source of truth shared by Encoder (the
+    prediction that sets cm_out/cm_in) and exercised against ReflectConv's
+    actual dispatch in tests/test_starved_conv.py — if the dispatch
+    conditions change, the two can't silently desync."""
+    from vae_cyclegan_tpu.ops.starved_conv import cm_engaged
+
+    n, h, w, cin = x_shape
+    return (
+        head_cm_enabled()
+        and cm_engaged(x_shape, (kernel_size, kernel_size, cin, features),
+                       dtype)
+        and down2_applicable((n, h, w, features))
+    )
 
 
 def down2_conv(x: jnp.ndarray, w3: jnp.ndarray,
