@@ -51,6 +51,44 @@ def _reference_images_per_sec(arch: str) -> float:
     return REFERENCE_CPU_IMAGES_PER_SEC
 
 
+def _run_phase_subprocess(phase: str, timeout: float = 1200.0) -> dict:
+    """Run one auxiliary bench phase (e2e / loader) in a FRESH process and
+    return its parsed JSON dict.
+
+    Why a subprocess: this dev host has ONE CPU core (ROADMAP round-4), so
+    host-side phases measured in the same process tree as the step/trace
+    phases inherit their leftover work (profile flushing, cache writes,
+    allocator state) and read 20-30% low — the r4 canonical artifact said
+    28.1 img/s while a clean-process run of the same code measured 37.0
+    (VERDICT r4 weak 1). Clean process = the number IS the configuration's,
+    not the harness schedule's."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["BENCH_PHASE"] = phase
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, timeout=timeout,
+        cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
+    )
+    for line in reversed(out.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            parsed = json.loads(line)
+            if parsed.get("metric") == "bench_error":
+                # the child's last-resort handler fired; surfacing its dict
+                # via result.update() would clobber the parent's headline
+                # metric/value with zeros — raise instead.
+                raise RuntimeError(
+                    f"phase {phase} failed: {parsed.get('error', '?')}"
+                )
+            return parsed
+    raise RuntimeError(
+        f"phase {phase} subprocess produced no JSON "
+        f"(rc={out.returncode}): {(out.stderr or out.stdout)[-300:]}"
+    )
+
+
 def main() -> None:
     if os.environ.get("BENCH_PLATFORM"):
         # In-process backend selection that survives site customizations
@@ -83,6 +121,21 @@ def main() -> None:
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "256"))
+    # phase routing: "all" (default) measures the step in-process and
+    # delegates the host-sensitive phases to fresh subprocesses (see
+    # _run_phase_subprocess); "e2e" / "loader" are those children.
+    phase = os.environ.get("BENCH_PHASE", "all")
+    if phase == "loader":
+        out = {"loader_only_images_per_sec": {
+            str(w): round(r, 1)
+            for w, r in _bench_loader_only(batch, image_size).items()
+        }}
+        try:
+            out["h2d_bandwidth_mb_s"] = round(_bench_h2d(), 1)
+        except Exception as e:  # noqa: BLE001
+            out["h2d_error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps(out))
+        return
 
     mc = ModelConfig(
         image_size=image_size,
@@ -96,6 +149,13 @@ def main() -> None:
     )
     # the BASELINE config #5: unpaired summer2winter-style full dual cycle
     task = create_task(arch, model=mc, paired=False)
+
+    if phase == "e2e":
+        e2e = _bench_e2e(task, batch, image_size)
+        e2e_out = {"e2e_loader_images_per_sec": e2e.pop("images_per_sec"),
+                   "e2e_breakdown": e2e}
+        print(json.dumps(e2e_out))
+        return
 
     rng = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(rng)
@@ -192,27 +252,34 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — trace phase is auxiliary
             result["step_trace_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("BENCH_E2E", "1") != "0":
+        # one CANONICAL number (VERDICT r4 weak 1 / item 3): the shipping
+        # e2e configuration (BENCH_E2E_MODE=host on this tunnel: uint8
+        # 256^2-crop wire + C++ decode cache — measured strictly better
+        # than raw/device_aug here, whose full-frame wire is 16x the bytes
+        # over a 38 MB/s link; raw wins on PCIe hosts, ROADMAP feed
+        # arithmetic), measured in a FRESH process so the step/trace
+        # phases' leftover host work can't depress it (the r4
+        # 28.1-vs-37.0 artifact split).
         try:
-            e2e = _bench_e2e(task, batch, image_size)
-            result["e2e_loader_images_per_sec"] = e2e.pop("images_per_sec")
-            result["e2e_breakdown"] = e2e
+            result.update(_run_phase_subprocess("e2e"))
+            result["e2e_config"] = {
+                "mode": os.environ.get("BENCH_E2E_MODE", "host"),
+                "wire": "uint8 crops" if os.environ.get(
+                    "BENCH_E2E_MODE", "host") != "device"
+                else "uint8 full frames (on-device aug)",
+                "decode_cache": True, "clean_process": True,
+            }
         except Exception as e:  # noqa: BLE001 — e2e is auxiliary
             result["e2e_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("BENCH_LOADER_ONLY", "1") != "0":
         # Host capability measured with NO device in the loop (VERDICT r2
-        # item 4): separates decode/augment throughput from the
-        # host->device link, which on tunneled backends is the wall.
+        # item 4), also in a fresh process: separates decode/augment
+        # throughput from the host->device link, which on tunneled
+        # backends is the wall.
         try:
-            result["loader_only_images_per_sec"] = {
-                str(w): round(r, 1)
-                for w, r in _bench_loader_only(batch, image_size).items()
-            }
+            result.update(_run_phase_subprocess("loader"))
         except Exception as e:  # noqa: BLE001
             result["loader_only_error"] = f"{type(e).__name__}: {e}"
-        try:
-            result["h2d_bandwidth_mb_s"] = round(_bench_h2d(), 1)
-        except Exception as e:  # noqa: BLE001
-            result["h2d_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
 
 

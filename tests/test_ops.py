@@ -241,6 +241,22 @@ def test_tiled_kernel_vjp_matches_reference(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+def test_in_twopass_moments_match_single_pass(rng, monkeypatch):
+    """VCT_IN_TWOPASS=1 (centered two-pass moments, the measured-slower
+    A/B form) must agree with the default single-pass E[x^2]-mu^2 form —
+    the only behavioral difference is HBM traffic, never values."""
+    import importlib
+
+    inmod = importlib.import_module("vae_cyclegan_tpu.ops.instance_norm")
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32) * 3 + 1.5)
+    base = inmod._stats(x, 1e-5, (1, 2))
+    monkeypatch.setenv("VCT_IN_TWOPASS", "1")
+    two = inmod._stats(x, 1e-5, (1, 2))
+    for a, b in zip(base, two):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("k", [3, 7])
 def test_reflect_conv_exact(rng, k):
     """reflect_conv == pad-then-conv, values and gradients."""
