@@ -1,8 +1,9 @@
-"""ops.block_conv: shuffle-free D/U conv equivalences.
+"""ops.block_conv: the shuffle-free down2 conv equivalence.
 
-Oracle = the literal reference lowering (pixel shuffle/unshuffle + reflect
-conv), values AND gradients, including the cm_out layout and the module
-fallback on shapes too small for the mirror borders.
+Oracle = the literal reference lowering (pixel unshuffle + reflect conv),
+values AND gradients, including the cm_in layout and the module fallback
+on shapes too small for the mirror borders. (The up2 phase-conv form was
+retired in round 5 — measured composed loss; see block_conv docstring.)
 """
 
 import jax
@@ -10,13 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vae_cyclegan_tpu.ops import pixel_shuffle, pixel_unshuffle
-from vae_cyclegan_tpu.ops.block_conv import (
-    down2_applicable,
-    down2_conv,
-    up2_applicable,
-    up2_conv,
-)
+from vae_cyclegan_tpu.ops import pixel_unshuffle
+from vae_cyclegan_tpu.ops.block_conv import down2_applicable, down2_conv
 from vae_cyclegan_tpu.ops.reflect_conv import _naive_reflect_conv
 
 
@@ -41,36 +37,6 @@ def test_down2_matches_unshuffle_conv(rng, h, w, c, f):
     for a, b, name in zip(got_grads, want_grads, ["dx", "dw"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
                                    err_msg=name)
-
-
-@pytest.mark.parametrize("h,w,c4,f", [(4, 4, 8, 6), (6, 4, 4, 3), (2, 3, 12, 5)])
-def test_up2_matches_shuffle_conv(rng, monkeypatch, h, w, c4, f):
-    monkeypatch.setenv("VCT_BLOCK_FORMS", "1")
-    x = jnp.asarray(rng.randn(2, h, w, c4).astype(np.float32))
-    w3 = jnp.asarray(0.1 * rng.randn(3, 3, c4 // 4, f).astype(np.float32))
-    g = jnp.asarray(rng.randn(2, 2 * h, 2 * w, f).astype(np.float32))
-
-    ref = lambda v, k: _naive_reflect_conv(pixel_shuffle(v, 2), k)
-    assert up2_applicable(x.shape)
-    got = up2_conv(x, w3)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x, w3)),
-                               atol=1e-4)
-    want_grads = jax.vjp(ref, x, w3)[1](g)
-    got_grads = jax.vjp(lambda v, k: up2_conv(v, k), x, w3)[1](g)
-    for a, b, name in zip(got_grads, want_grads, ["dx", "dw"]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
-                                   err_msg=name)
-
-
-def test_up2_cm_out_layout(rng):
-    x = jnp.asarray(rng.randn(2, 4, 6, 8).astype(np.float32))
-    w3 = jnp.asarray(0.1 * rng.randn(3, 3, 2, 5).astype(np.float32))
-    nhwc = up2_conv(x, w3)
-    cm = up2_conv(x, w3, cm_out=True)
-    np.testing.assert_allclose(
-        np.asarray(cm), np.asarray(jnp.transpose(nhwc, (0, 1, 3, 2))),
-        atol=0,
-    )
 
 
 def test_blocks_match_legacy_lowering(rng, monkeypatch):
@@ -100,12 +66,11 @@ def test_blocks_match_legacy_lowering(rng, monkeypatch):
 
 
 def test_fallback_on_tiny_shapes(rng, monkeypatch):
-    """2x2 coarse is the up2 floor; below it (or odd fine dims) the
-    module silently uses the legacy lowering."""
+    """Below the down2 mirror-border floor (or odd fine dims) the module
+    silently uses the legacy shuffle lowering."""
     from vae_cyclegan_tpu.models.blocks import UBlock
 
     monkeypatch.setenv("VCT_BLOCK_FORMS", "1")
-    assert not up2_applicable((1, 1, 4, 8))
     assert not down2_applicable((1, 3, 4, 2))
     x = jnp.asarray(rng.randn(1, 1, 1, 16).astype(np.float32))
     mod = UBlock(features=4, use_pallas=False)

@@ -130,74 +130,6 @@ def test_packing_knobs_are_pure_layout(monkeypatch, knob):
         assert float(jnp.max(jnp.abs(a - b))) < 5e-5
 
 
-@pytest.mark.parametrize("cin,cout", [(64, 3), (3, 64)])
-def test_dw_wide_orientation_matches_classic(monkeypatch, cin, cout):
-    """The wide dw contraction (VCT_DW_WIDE=1 opt-in: both tap factors
-    on the narrow operand — see _dw_kernel_wide; measured slower e2e
-    than classic, kept as a documented negative result) is a pure
-    reassociation: it must reproduce the classic orientation's dw
-    exactly on the k7 64<->3 classes, the only shapes whose dot-block
-    cost model selects it (k*c_t > 128 spans 4 lane tiles)."""
-    h, w, k = 32, 40, 7
-    monkeypatch.setenv("VCT_DW_WIDE", "1")
-    x = jax.random.normal(jax.random.PRNGKey(21), (2, h, w, cin),
-                          jnp.float32)
-    wgt = jax.random.normal(jax.random.PRNGKey(22), (k, k, cin, cout),
-                            jnp.float32) * 0.1
-    cot = jax.random.normal(jax.random.PRNGKey(23), (2, h, w, cout),
-                            jnp.float32)
-
-    def run():
-        out = sc._starved_conv(x, wgt)
-        gx, gw = jax.grad(
-            lambda a, b: jnp.sum(sc._starved_conv(a, b) * cot),
-            argnums=(0, 1))(x, wgt)
-        return out, gx, gw
-
-    on = run()  # wide selected for these shapes
-    monkeypatch.setenv("VCT_DW_WIDE", "0")
-    off = run()
-    for a, b in zip(on, off):
-        # relative tolerance: wide REASSOCIATES the f32 accumulation
-        # (contraction over the padded-x/g domain instead of per-tap
-        # windows), so low-bit drift scales with the value magnitude
-        scale = max(1.0, float(jnp.max(jnp.abs(b))))
-        assert float(jnp.max(jnp.abs(a - b))) < 1e-5 * scale
-
-
-@pytest.mark.parametrize("h,w,cin,cout,k", [
-    (32, 40, 3, 16, 7),   # low-cin k7: channel-padded sublanes + tail block
-    (32, 32, 8, 16, 3),   # U4-like k3
-    (32, 40, 16, 3, 7),   # low-cout k7 (exercises direct in dx/dw too)
-])
-def test_direct_patch_matches_slab(monkeypatch, h, w, cin, cout, k):
-    """VCT_DIRECT_P (write padded rows straight into P's (dy, ci)
-    blocks, skipping the slab S) is a pure assembly layout: it must
-    reproduce the default slab path's forward AND gradients exactly,
-    including the k-1 tail lanes and channel-padded sublanes it has to
-    zero itself. Ships default-off (e2e A/B: slab 70.5 vs direct-rule
-    70.2 img/s) but stays covered here."""
-    x = jax.random.normal(jax.random.PRNGKey(21), (2, h, w, cin),
-                          jnp.float32)
-    wgt = jax.random.normal(jax.random.PRNGKey(22), (k, k, cin, cout),
-                            jnp.float32) * 0.1
-    cot = jax.random.normal(jax.random.PRNGKey(23), (2, h, w, cout),
-                            jnp.float32)
-
-    def run():
-        out = sc._starved_conv(x, wgt)
-        gx, gw = jax.grad(
-            lambda a, b: jnp.sum(sc._starved_conv(a, b) * cot),
-            argnums=(0, 1))(x, wgt)
-        return out, gx, gw
-
-    slab = run()
-    monkeypatch.setenv("VCT_DIRECT_P", "1")
-    direct = run()
-    for a, b in zip(slab, direct):
-        assert float(jnp.max(jnp.abs(a - b))) < 5e-5
-
-
 def test_cm_chain_matches_nhwc(monkeypatch):
     """U4-style conv -> IN(act_norm) -> tail conv with channel-major
     handover must equal the all-NHWC lowering (fwd and grads)."""
@@ -280,84 +212,6 @@ def test_dispatcher_uses_kernels_for_starved_shapes():
     assert not sc._supported((2, 64, 64, 3), (4, 4, 3, 64), jnp.float32)
     assert not sc._supported((2, 64, 64, 3), (1, 1, 3, 64), jnp.float32)
     assert not sc._supported((2, 16, 16, 3), (7, 7, 3, 64), jnp.float32)
-
-
-def test_fused_conv_in_relu_matches_legacy_chain():
-    """fused_conv_in_relu_cm (conv epilogue emits bias+ReLU+IN moments)
-    == reflect_conv -> +bias -> instance_norm_act(act_norm, relu),
-    values and (dx, dw, db) grads."""
-    import numpy as np
-
-    from vae_cyclegan_tpu.ops.instance_norm import instance_norm_act
-    from vae_cyclegan_tpu.ops.reflect_conv import reflect_conv
-
-    key = jax.random.PRNGKey(13)
-    x = jax.random.normal(key, (2, 32, 40, 8), jnp.float32)
-    w = jax.random.normal(jax.random.PRNGKey(14), (3, 3, 8, 16),
-                          jnp.float32) * 0.1
-    b = jax.random.normal(jax.random.PRNGKey(15), (16,), jnp.float32) * 0.5
-
-    def fused(x, w, b):
-        xt = jnp.transpose(x, (0, 1, 3, 2))
-        y = sc.fused_conv_in_relu_cm(xt, w, b)
-        return jnp.transpose(y, (0, 1, 3, 2))
-
-    def legacy(x, w, b):
-        y = reflect_conv(x, w) + b
-        return instance_norm_act(y, act="relu", order="act_norm",
-                                 use_pallas=False)
-
-    got = fused(x, w, b)
-    want = legacy(x, w, b)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=5e-5)
-
-    cot = jax.random.normal(jax.random.PRNGKey(16), got.shape, jnp.float32)
-    g_f = jax.grad(lambda *a: jnp.sum(fused(*a) * cot),
-                   argnums=(0, 1, 2))(x, w, b)
-    g_l = jax.grad(lambda *a: jnp.sum(legacy(*a) * cot),
-                   argnums=(0, 1, 2))(x, w, b)
-    for a, ref, name in zip(g_f, g_l, ["dx", "dw", "db"]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(ref),
-                                   atol=5e-4, err_msg=name)
-
-    # bf16 data path (production dtype): values track the f32 oracle to
-    # bf16 resolution
-    got16 = fused(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16), b)
-    assert got16.dtype == jnp.bfloat16
-    np.testing.assert_allclose(
-        np.asarray(got16, np.float32), np.asarray(want), atol=0.05)
-
-
-def test_ublock_fused_path_matches_legacy(monkeypatch):
-    """UBlock with cm_out (the U4 site) must produce the same values and
-    grads whether the epilogue fusion is on or off."""
-    import numpy as np
-
-    from vae_cyclegan_tpu.models.blocks import UBlock
-
-    x = jax.random.normal(jax.random.PRNGKey(17), (2, 16, 16, 32),
-                          jnp.float32)
-    mod = UBlock(features=16, use_pallas=False, cm_out=True)
-    params = mod.init(jax.random.PRNGKey(0), x)
-
-    def loss(p, v, on):
-        monkeypatch.setenv("VCT_EPILOGUE_IN", "1" if on else "0")
-        return jnp.sum(jnp.sin(mod.apply(p, v)))
-
-    y_on, g_on = jax.value_and_grad(loss)(params, x, True)
-    y_off, g_off = jax.value_and_grad(loss)(params, x, False)
-    np.testing.assert_allclose(float(y_on), float(y_off), rtol=2e-5)
-    # scale-aware bound: both paths are exact algorithms differing only
-    # in f32 summation order; through the IN mean-subtraction
-    # cancellations that shows up as ~1e-4 of the leaf's scale (the
-    # direct op-vs-oracle test above holds 5e-4 absolute on O(1) data)
-    def close(a, ref):
-        a, ref = np.asarray(a), np.asarray(ref)
-        bound = 1e-4 * (1.0 + float(np.max(np.abs(ref))))
-        assert float(np.max(np.abs(a - ref))) <= bound
-
-    jax.tree_util.tree_map(close, g_on, g_off)
 
 
 def test_encoder_head_cm_path_matches_xla(monkeypatch):

@@ -104,16 +104,10 @@ class ReflectConv(nn.Module):
     cm_in: bool = False
     cm_out: bool = False
     resample: Optional[str] = None
-    # fuse_in_relu: the caller's next op is InstanceNorm(act_norm, relu)
-    # (the D/U pattern): when the Pallas cm path engages, run the fused
-    # conv+bias+ReLU+IN op (stats in the conv epilogue) and return
-    # (y, True); otherwise return (conv output, False) and the caller
-    # applies instance_norm_act itself.
-    fuse_in_relu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
-        from vae_cyclegan_tpu.ops import block_conv, starved_conv
+        from vae_cyclegan_tpu.ops import block_conv
         from vae_cyclegan_tpu.ops.starved_conv import (
             _starved_conv_cm,
             _to_cm,
@@ -121,9 +115,6 @@ class ReflectConv(nn.Module):
             cm_engaged,
             starved_reflect_conv,
         )
-
-        def ret(y, fused=False):
-            return (y, fused) if self.fuse_in_relu else y
 
         if self.cm_in:
             n, h, c, wd = x.shape
@@ -151,24 +142,23 @@ class ReflectConv(nn.Module):
                 y = block_conv.down2_conv(xc, kc, cm_in=cm_x)
                 if self.cm_out:
                     y = _to_cm(y)
-                return ret(_bias(y, bias, self.cm_out))
+                return _bias(y, bias, self.cm_out)
             xc = pixel_unshuffle(_to_nhwc(xc) if cm_x else xc, 2)
             cm_x = False
             nhwc_shape = xc.shape
         elif self.resample == "up2":
-            if cm_x:  # no cm-in up2 form; normalize (no production site)
+            # The phase-conv up2 form (4 dense k2 convs + interleave) was
+            # built, exactness-tested, and measured an e2e LOSS at every
+            # site split (output interleave = one 6-D transpose per site;
+            # autoencoder 240-267 vs 276 img/s, ROADMAP round 3 item 2);
+            # retired in round 5 — code in git history (commit b287a35).
+            if cm_x:  # no cm-in up2 path; normalize (no production site)
                 xc, cm_x = _to_nhwc(xc), False
-            if block_conv.up2_applicable(xc.shape, self.cm_out):
-                y = block_conv.up2_conv(xc, kc, cm_out=self.cm_out)
-                return ret(_bias(y, bias, self.cm_out))
             xc = pixel_shuffle(xc, 2)
             nhwc_shape = xc.shape
         same = self.stride == 1 and self.padding == self.kernel_size // 2
         if same and cm_engaged(nhwc_shape, kc.shape, dtype):
             xt = xc if cm_x else _to_cm(xc)
-            if (self.fuse_in_relu and self.cm_out and bias is not None
-                    and starved_conv.epilogue_in_enabled()):
-                return starved_conv.fused_conv_in_relu_cm(xt, kc, bias), True
             yt = _starved_conv_cm(xt, kc)
             y = yt if self.cm_out else _to_nhwc(yt)
             cm_y = self.cm_out
@@ -185,7 +175,7 @@ class ReflectConv(nn.Module):
             if self.cm_out:
                 y = _to_cm(y)
             cm_y = self.cm_out
-        return ret(_bias(y, bias, cm_y))
+        return _bias(y, bias, cm_y)
 
 
 def _bias(y, bias, cm):
@@ -296,11 +286,8 @@ class UBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x, fused = ReflectConv(self.features, 3, 1, 1, dtype=self.dtype,
-                               cm_out=self.cm_out, resample="up2",
-                               fuse_in_relu=True)(x)
-        if fused:  # conv+bias+ReLU+IN ran as one epilogue-fused unit
-            return x
+        x = ReflectConv(self.features, 3, 1, 1, dtype=self.dtype,
+                        cm_out=self.cm_out, resample="up2")(x)
         return instance_norm_act(x, act="relu", order="act_norm",
                                  use_pallas=self.use_pallas,
                                  channel_major=self.cm_out)

@@ -16,24 +16,18 @@ single dense convolution on the *unshuffled* grid:
           fine grid.
 
   up2:    conv3(shuffle2(x))    ==  interleave(4 phase convs k2x2)
-          — each output fine-grid phase (rho, sigma) sees a 2x2 coarse
-          window whose kernel gathers the w3 taps that land on that
-          phase; 1.78x the MACs but on dense (4c)-channel inputs, and
-          the pre-shuffle copy disappears (the cheap post-interleave of
-          the *output* remains).  The reference's reflect pad happens on
-          the fine (post-shuffle) grid: fine row -1 == fine row 1, i.e.
-          a one-coarse-row pad whose (c, s1, s2) channel blocks gather
-          from coarse rows 0 and 1 with the s1 phase mirrored.
+          — built, exactness-tested, and RETIRED (round 5): despite a
+          1.2-1.8x isolated fwd+bwd win it LOSES composed at every site
+          split (autoencoder 240-267 vs 276.5 img/s down-only) because
+          the output interleave is a 6-D transpose copy per site and it
+          displaces the starved-conv channel-major U4 chain. Code in
+          git history (commit b287a35:vae_cyclegan_tpu/ops/block_conv.py).
 
-Both forms are bit-exact reformulations (values and gradients follow by
-linearity); verified against the shuffle+conv lowering in
-tests/test_block_conv.py and measured 1.2-1.8x faster fwd+bwd at every
-production D/U shape in isolation (experiments/block_forms.py, v5e).
-Composed into the full step only down2 survives: the autoencoder e2e
-A/B measured 246.2 img/s (off/off) vs 240.3 (on/on) vs **276.5 (down
-only)** because up2's output interleave and its displacement of the
-starved-conv channel-major U4 chain give back the isolated win — hence
-the per-direction defaults in `forms_enabled`.
+The down2 form is a bit-exact reformulation (values and gradients follow
+by linearity); verified against the shuffle+conv lowering in
+tests/test_block_conv.py and measured faster fwd+bwd at every production
+D shape in isolation (experiments/block_forms.py, v5e) AND composed
+(autoencoder 246.2 -> 276.5 img/s, flagship 55.8 -> 65.6 at round 3).
 
 Weights stay stored in the reference layout ``(3, 3, cin, f)`` so
 checkpoints and the torch importer are unaffected; the remap to the
@@ -51,17 +45,14 @@ import numpy as np
 
 
 def forms_enabled(direction: str) -> bool:
-    """Env gate: VCT_BLOCK_FORMS=0/1 masters both directions;
-    VCT_BLOCK_FORMS_DOWN / VCT_BLOCK_FORMS_UP override per direction
-    (the UP knob also accepts 'cm'/'nocm', see `up2_applicable`).
-    Defaults reflect the composed-step A/B on v5e (bench.py,
-    BENCH_ARCH=autoencoder): the down2 form wins (D sites have no Pallas
-    path to displace) and ships ON; the up2 form loses end-to-end —
-    its output interleave re-introduces the transpose the isolated
-    layer bench doesn't see — so it ships OFF."""
-    master = os.environ.get("VCT_BLOCK_FORMS")
-    default = {"down": "1", "up": "0"}[direction] if master is None else master
-    return os.environ.get(f"VCT_BLOCK_FORMS_{direction.upper()}", default) != "0"
+    """Env gate for the down2 form: VCT_BLOCK_FORMS=0 (or
+    VCT_BLOCK_FORMS_DOWN=0) opts out for A/Bs. Default ON — the
+    composed-step A/B on v5e wins at every scale (see module docstring).
+    The up2 form was retired (measured composed loss); only 'down'
+    remains."""
+    assert direction == "down", "up2 form retired (round 5)"
+    master = os.environ.get("VCT_BLOCK_FORMS", "1")
+    return os.environ.get("VCT_BLOCK_FORMS_DOWN", master) != "0"
 
 
 def _conv(x, w, strides=(1, 1), padding="VALID"):
@@ -159,106 +150,3 @@ def down2_conv(x: jnp.ndarray, w3: jnp.ndarray,
             dimension_numbers=("NHCW", "HWIO", "NHWC"),
         )
     return _conv(_coarse_mirror2(x), w6, (2, 2))
-
-
-# ---------------------------------------------------------------------------
-# up2: conv3x3(pixel_shuffle(x)) as 4 dense k2x2 phase convs + interleave
-# ---------------------------------------------------------------------------
-
-
-def _phase_map(k: int = 3) -> np.ndarray:
-    """One-hot routing table M[p, m, n, s1, s2, dy, dx]: fine tap
-    (dy, dx) of w3 contributes to phase p = 2*rho + sigma's coarse k2x2
-    kernel at row m / col n, channel sub-block (s1, s2).
-
-    Derivation (rows; cols identical): output fine row 2i + rho taps
-    fine rows 2i + rho + dy - 1 = 2(i + m) + s1, so the coarse offset m
-    and phase s1 solve 2m + s1 = rho + dy - 1; the kernel row index is
-    m - min(m) = m + (1 - rho).
-    """
-    m_ = np.zeros((4, 2, 2, 2, 2, k, k), np.float32)
-    for rho in range(2):
-        for sig in range(2):
-            for dy in range(k):
-                a = rho + dy - 1
-                mi, s1 = a // 2 + (1 - rho), a % 2
-                for dx in range(k):
-                    b = sig + dx - 1
-                    ni, s2 = b // 2 + (1 - sig), b % 2
-                    m_[2 * rho + sig, mi, ni, s1, s2, dy, dx] = 1.0
-    return m_
-
-
-_PHASE_MAP = _phase_map(3)
-
-
-def _phase_kernels(w3: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, c, f) -> (4, 2, 2, 4c, f) per-phase coarse kernels over
-    the (c, s1, s2) coarse channel layout."""
-    _, _, c, f = w3.shape
-    wk = jnp.einsum(
-        "pmnstyx,yxcf->pmncstf", jnp.asarray(_PHASE_MAP, w3.dtype), w3
-    )
-    return wk.reshape(4, 2, 2, 4 * c, f)
-
-
-def _mirror_pad_coarse(x: jnp.ndarray) -> jnp.ndarray:
-    """Pad one coarse row/col per side carrying the FINE-grid reflect
-    semantics: the pad row at coarse -1 holds fine rows (-2, -1) ->
-    reflect -> fine (2, 1) = (coarse 1, s1=0) and (coarse 0, s1=1)."""
-    n, hc, wc, c4 = x.shape
-    cf = c4 // 4
-    xr = x.reshape(n, hc, wc, cf, 2, 2)
-    top = jnp.stack(
-        [xr[:, 1:2, :, :, 0, :], xr[:, 0:1, :, :, 1, :]], axis=4
-    ).reshape(n, 1, wc, c4)
-    bot = jnp.stack(
-        [xr[:, hc - 1 : hc, :, :, 0, :], xr[:, hc - 2 : hc - 1, :, :, 1, :]],
-        axis=4,
-    ).reshape(n, 1, wc, c4)
-    x = jnp.concatenate([top, x, bot], axis=1)
-    xr = x.reshape(n, hc + 2, wc, cf, 2, 2)
-    left = jnp.stack(
-        [xr[:, :, 1:2, :, :, 0], xr[:, :, 0:1, :, :, 1]], axis=5
-    ).reshape(n, hc + 2, 1, c4)
-    right = jnp.stack(
-        [xr[:, :, wc - 1 : wc, :, :, 0], xr[:, :, wc - 2 : wc - 1, :, :, 1]],
-        axis=5,
-    ).reshape(n, hc + 2, 1, c4)
-    return jnp.concatenate([left, x, right], axis=2)
-
-
-def up2_applicable(coarse_shape, cm_out: bool = False) -> bool:
-    """cm_out identifies the U4 site feeding the channel-major tail
-    chain; VCT_BLOCK_FORMS_UP accepts 0/1 plus 'cm' (only that site)
-    and 'nocm' (every other site) for A/B isolation."""
-    _, hc, wc, c4 = coarse_shape
-    mode = os.environ.get(
-        "VCT_BLOCK_FORMS_UP", os.environ.get("VCT_BLOCK_FORMS", "0"))
-    on = {"0": False, "1": True,
-          "cm": cm_out, "nocm": not cm_out}.get(mode, False)
-    return on and hc >= 2 and wc >= 2 and c4 % 4 == 0
-
-
-def up2_conv(
-    x: jnp.ndarray, w3: jnp.ndarray, cm_out: bool = False
-) -> jnp.ndarray:
-    """== reflect_conv(pixel_shuffle(x, 2), w3); x coarse NHWC
-    (n, hc, wc, 4c), w3 (3, 3, c, f).  cm_out emits channel-major
-    (n, 2hc, f, 2wc) straight from the phase stack (same-cost transpose,
-    feeds the Pallas tail site's native layout)."""
-    n, hc, wc, _ = x.shape
-    f = w3.shape[-1]
-    wk = _phase_kernels(w3).astype(x.dtype)
-    xp = _mirror_pad_coarse(x)
-    outs = []
-    for rho in range(2):
-        for sig in range(2):
-            xin = xp[:, rho : rho + hc + 1, sig : sig + wc + 1]
-            outs.append(_conv(xin, wk[2 * rho + sig]))
-    y4 = jnp.stack(outs, axis=3).reshape(n, hc, wc, 2, 2, f)
-    if cm_out:
-        y4 = y4.transpose(0, 1, 3, 5, 2, 4)  # (n, hc, rho, f, wc, sig)
-        return y4.reshape(n, 2 * hc, f, 2 * wc)
-    y4 = y4.transpose(0, 1, 3, 2, 4, 5)  # (n, hc, rho, wc, sig, f)
-    return y4.reshape(n, 2 * hc, 2 * wc, f)

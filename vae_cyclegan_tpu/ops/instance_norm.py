@@ -411,13 +411,9 @@ def instance_norm_act(
         # single-pass: whole (H*W, C) slab resident in VMEM
         return _fused_tpu(x, act, order, eps)
     if _on_tpu():
-        if os.environ.get("VCT_IN_TILED") == "1" and _HAS_PLTPU:
-            # A/B knob: two-pass tiled Pallas fwd on the big slabs.
-            # Round-3 flagship measurement: 62.2 vs 65.9 img/s — the
-            # second HBM pass still loses to XLA's conv-fused stats even
-            # after the analytic-VJP rework, so the auto path keeps the
-            # XLA forward here.
-            return _fused_tpu_tiled(x, act, order, eps)
-        # big-spatial slabs: XLA forward, controlled analytic backward
+        # big-spatial slabs: XLA forward, controlled analytic backward.
+        # (The tiled two-pass Pallas fwd measured 62.2 vs 65.9 img/s on
+        # the flagship — the second HBM pass loses to XLA's conv-fused
+        # stats; reachable explicitly via use_pallas="tiled" above.)
         return _fused_xla(x, act, order, eps, (1, 2))
     return _fused_reference(x, act, order, eps)

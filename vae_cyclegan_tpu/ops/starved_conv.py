@@ -205,38 +205,6 @@ def _assemble_slab(S, main_ref, row_refs, *, k, p, R, w_in, wp, c,
         S[0:c, j * wp:(j + 1) * wp] = row
 
 
-def _assemble_patch(P, main_ref, row_refs, *, k, p, R, w_in, wp, c, c_p,
-                    reflect, h, chunks):
-    """Direct-to-patch assembly (VCT_DIRECT_P): write each padded row
-    straight into every (dy, ci) block of P where it appears, skipping
-    the intermediate slab S entirely. P block dy equals slab lanes
-    [dy*wp, dy*wp + Lp), so row j lands at lane (j-dy)*wp of blocks
-    dy = j-R .. j (clipped to [0, k)); the S write + k S window reads
-    become k direct row writes — one full slab write+read less per grid
-    step, and the S scratch (plus its VMEM) disappears."""
-    nrows = R + k - 1
-    Lp = R * wp + k - 1
-    if c < c_p:
-        for dy in range(k):
-            P[dy * c_p + c:(dy + 1) * c_p, :] = jnp.zeros(
-                (c_p - c, P.shape[1]), P.dtype)
-    if k > 1:
-        # block k-1's tail lanes would come from slab row R+k-1, which
-        # does not exist (the slab path reads zeroed lane slack there);
-        # they land only in cropped output columns — zero them once.
-        P[(k - 1) * c_p:(k - 1) * c_p + c, R * wp:Lp] = jnp.zeros(
-            (c, k - 1), P.dtype)
-    for j in range(nrows):
-        row = _padded_row(j, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in,
-                          c=c, reflect=reflect, h=h, chunks=chunks)
-        for dy in range(k):
-            rel = j - dy
-            if 0 <= rel < R:
-                P[dy * c_p:dy * c_p + c, rel * wp:rel * wp + wp] = row
-            elif rel == R:
-                P[dy * c_p:dy * c_p + c, R * wp:Lp] = row[:, :k - 1]
-
-
 def _row_ref_order(k, p):
     """_row_specs appends pre rows (j < p) then post rows; map them back
     to slab positions. Returns (n_pre, n_post)."""
@@ -249,16 +217,11 @@ def _row_ref_order(k, p):
 
 
 def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, co_t, out_w,
-                 reflect, h, chunks, dtype, epilogue=False, direct=False):
+                 reflect, h, chunks, dtype):
     main_ref = refs[0]
     row_refs = refs[1:k]
     w_ref = refs[k]
-    if epilogue:
-        b_ref = refs[k + 1]
-        o_ref = refs[k + 2]
-        st_ref = refs[k + 3]
-    else:
-        o_ref = refs[k + 1]
+    o_ref = refs[k + 1]
 
     L = R * wp
     Lp = L + k - 1
@@ -266,18 +229,17 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, co_t, out_w,
     # vectors with mismatched lane offsets); K = k_dy*c_p, M stacks
     # (dx, co_p) groups up to 128 so even cout=3 runs a 56-row dot
     # (co_p-padded) and the tap fold is only k lane-sliced adds.
+    # (A direct-to-patch assembly skipping S was built, measured, and
+    # retired: e2e the per-row stores cost more DMA overlap than the
+    # slab round-trip saves — 70.2 vs 70.5 img/s, ROADMAP r3 cont. 4;
+    # code in git history, commit 429dc8f^.)
     P_ref = refs[-1]
-    if direct:
-        _assemble_patch(P_ref, main_ref, row_refs, k=k, p=p, R=R,
-                        w_in=w_in, wp=wp, c=c, c_p=c_p, reflect=reflect,
-                        h=h, chunks=chunks)
-    else:
-        S = refs[-2]
-        _assemble_slab(S, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in,
-                       wp=wp, c=c, reflect=reflect, h=h, chunks=chunks)
-        for dy in range(k):
-            P_ref[dy * c_p:(dy + 1) * c_p, :] = S[0:c_p,
-                                                  dy * wp:dy * wp + Lp]
+    S = refs[-2]
+    _assemble_slab(S, main_ref, row_refs, k=k, p=p, R=R, w_in=w_in,
+                   wp=wp, c=c, reflect=reflect, h=h, chunks=chunks)
+    for dy in range(k):
+        P_ref[dy * c_p:(dy + 1) * c_p, :] = S[0:c_p,
+                                              dy * wp:dy * wp + Lp]
     P = P_ref[...]
     # co_t is the per-dx row group in the M-stacked dot: co_p
     # (sublane-aligned slices) when cout fills a tile, or the TIGHT cout
@@ -295,70 +257,40 @@ def _conv_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, co_t, out_w,
         for t in range(gc):
             dx = g0 + t
             acc = acc + z[t * co_t:(t + 1) * co_t, dx:dx + L]
-    if epilogue:
-        # bias + ReLU + per-channel sum/sumsq accumulated into the tiny
-        # second output: removes the downstream XLA stat pass's full
-        # re-read of the conv output (the IN normalize still reads it).
-        acc = acc + b_ref[...]
-        accb = jnp.maximum(acc.astype(dtype), 0)
-        tf = accb.astype(jnp.float32)
-        s1 = jnp.zeros((co_p, 1), jnp.float32)
-        s2 = jnp.zeros((co_p, 1), jnp.float32)
-        for r in range(R):
-            sl = tf[0:co_p, r * wp:r * wp + out_w]
-            s1 = s1 + jnp.sum(sl, axis=1, keepdims=True)
-            s2 = s2 + jnp.sum(sl * sl, axis=1, keepdims=True)
-        st = jnp.concatenate(
-            [jnp.transpose(s1), jnp.transpose(s2)], axis=0)  # (2, co_p)
-
-        @pl.when(pl.program_id(0) % chunks == 0)
-        def _():
-            st_ref[0] = jnp.zeros((2, co_p), jnp.float32)
-
-        st_ref[0] = st_ref[0] + st
-    else:
-        accb = acc.astype(dtype)
+    accb = acc.astype(dtype)
     for r in range(R):
         o_ref[0, r] = accb[0:cout, r * wp:r * wp + out_w]
 
 
 def _conv_vmem_estimate(*, k, R, wp, c_p, cout, co_p, co_t, w_in, c,
-                        out_w, itemsize, epilogue=False, direct=False):
+                        out_w, itemsize):
     L = R * wp
     Lp = L + k - 1
-    slab = 0 if direct else c_p * ((R + k - 1) * wp + 128) * itemsize
+    slab = c_p * ((R + k - 1) * wp + 128) * itemsize
     blocks = 2 * ((R + k - 1) * _rup(c, 8) * _rup(w_in, 128) * itemsize
                   + R * _rup(cout, 8) * _rup(out_w, 128) * itemsize)
     acc = _rup(co_t, 8) * L * 4
     patch = k * c_p * Lp * itemsize
     g = max(1, min(k, 128 // max(co_t, 1)))
     z = _rup(g * co_t, 8) * Lp * 4
-    extra = (co_p * L * (4 + itemsize)) if epilogue else 0  # tf + accb
-    return slab + blocks + 2 * acc + patch + z + extra
+    return slab + blocks + 2 * acc + patch + z
 
 
-def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
-    """x: channel-major (N, H, C, W); returns (N, OH, CO, OW).
-
-    With `bias` (a (co_p, 1) f32 array), runs the fused epilogue —
-    bias + ReLU + per-(n, cout) sum/sumsq — and returns
-    (y, stats (N, 2, co_p) f32). Reflect mode only (the epilogue's stat
-    accumulation assumes every output row is a real row)."""
+def _conv_call(x, w_packed, *, k, p, cin, cout, reflect):
+    """x: channel-major (N, H, C, W); returns (N, OH, CO, OW)."""
     n, h, _, w_in = x.shape
     c_p = _rup(max(cin, 1), 8)
     co_p = _rup(cout, 8)
-    co_t = _tight_co(cout, epilogue=bias is not None)
+    co_t = _tight_co(cout)
     wp = w_in + 2 * p
     out_h = h + 2 * p - (k - 1)
     out_w = wp - (k - 1)
     itemsize = jnp.dtype(x.dtype).itemsize
-    direct = _direct_patch(k, cin)
     cap = _vmem_cap()
     R = _r_max()
     while R > 4 and _conv_vmem_estimate(
             k=k, R=R, wp=wp, c_p=c_p, cout=cout, co_p=co_p, co_t=co_t,
-            w_in=w_in, c=cin, out_w=out_w, itemsize=itemsize,
-            epilogue=bias is not None, direct=direct) > cap:
+            w_in=w_in, c=cin, out_w=out_w, itemsize=itemsize) > cap:
         R //= 2
     # Reflect mode has no in-kernel row masking, so the main block may
     # not run past the input: R must divide h (h % 8 == 0 per
@@ -377,34 +309,19 @@ def _conv_call(x, w_packed, *, k, p, cin, cout, reflect, bias=None):
     kern = functools.partial(
         _conv_kernel, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
         cout=cout, co_p=co_p, co_t=co_t, out_w=out_w, reflect=reflect,
-        h=h, chunks=chunks, dtype=x.dtype, epilogue=bias is not None,
-        direct=direct)
+        h=h, chunks=chunks, dtype=x.dtype)
     y_spec = pl.BlockSpec(
         (1, R, cout, out_w), lambda s: (s // chunks, s % chunks, 0, 0),
         memory_space=pltpu.VMEM)
     y_shape = jax.ShapeDtypeStruct((n, out_h, cout, out_w), x.dtype)
     scratch = [
+        pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype),
         pltpu.VMEM((k * c_p, R * wp + k - 1), x.dtype),
     ]
-    if not direct:
-        scratch.insert(
-            0, pltpu.VMEM((c_p, (R + k - 1) * wp + 128), x.dtype))
-    if bias is None:
-        return _pallas(
-            kern, grid=(steps,), in_specs=specs, out_specs=y_spec,
-            out_shape=y_shape, scratch_shapes=scratch,
-        )(*([x] * k), w_packed)
-    assert reflect, "epilogue stats assume reflect (full) output rows"
-    specs.append(pl.BlockSpec((co_p, 1), lambda s: (0, 0),
-                              memory_space=pltpu.VMEM))
-    st_spec = pl.BlockSpec((1, 2, co_p), lambda s: (s // chunks, 0, 0),
-                           memory_space=pltpu.VMEM)
-    st_shape = jax.ShapeDtypeStruct((n, 2, co_p), jnp.float32)
     return _pallas(
-        kern, grid=(steps,), in_specs=specs,
-        out_specs=[y_spec, st_spec], out_shape=[y_shape, st_shape],
-        scratch_shapes=scratch,
-    )(*([x] * k), w_packed, bias)
+        kern, grid=(steps,), in_specs=specs, out_specs=y_spec,
+        out_shape=y_shape, scratch_shapes=scratch,
+    )(*([x] * k), w_packed)
 
 
 # ---------------------------------------------------------------------------
@@ -474,151 +391,6 @@ def _dw_kernel(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, c_t, co_g,
         o_ref[...] = dwacc[...]
 
 
-def _dw_kernel_wide(*refs, k, p, R, w_in, wp, c, c_p, cout, co_p, c_t,
-                    co_g, gside, h, chunks, steps, dtype):
-    """Wide dw contraction for the starved k7 classes: BOTH spatial tap
-    factors live on one dot operand (N = k*k*narrow_channels rows of
-    shifted copies), the wide side streams unshifted as M.
-
-    Motivation (experiments/dw_dot_probe.py, v5e): Mosaic dot cost goes
-    as ceil(M/128)*ceil(N/128)*K, so the classic (k*c, k*co) split costs
-    4 lane-tiles x K at the 64<->3 shapes while this form costs
-    2 tiles x ~1.38K (gside) / 2 tiles x K (xside) — measured 2.11 ms vs
-    3.00 ms dot-only at the tail shape, and the narrow side's slab
-    assembly halves (the wide side needs NO shifted copies at all).
-
-    gside=True  (c_t >= co_g, e.g. tail 64->3): contract over the
-      padded-x domain Mx=(R+k-1)*wp; N rows are g shifted by dy*wp+dx
-      (g slab front-padded so every shift is a static left slice).
-    gside=False (head 3->64): contract over the g domain L=R*wp; N rows
-      are x-slab slices starting at dy*wp+dx (all shifts non-negative,
-      the standard slab already contains them)."""
-    xmain_ref = refs[0]
-    xrow_refs = refs[1:k]
-    gmain_ref = refs[k]
-    o_ref = refs[k + 1]
-    Sx = refs[k + 2]
-    Sg = refs[k + 3]
-    dwacc = refs[k + 4]
-    NW = refs[k + 5]
-
-    step = pl.program_id(0)
-    _assemble_slab(Sx, xmain_ref, xrow_refs, k=k, p=p, R=R, w_in=w_in,
-                   wp=wp, c=c, reflect=True, h=h, chunks=chunks)
-
-    L = R * wp
-    Mx = (R + k - 1) * wp
-    off = (k - 1) * wp + (k - 1)  # g slab front pad: max shift
-    zrow = jnp.zeros((cout, wp - w_in), dtype)
-    Sg[:, 0:off] = jnp.zeros((co_p, off), dtype)
-    for r in range(R):
-        Sg[0:cout, off + r * wp:off + (r + 1) * wp] = (
-            jnp.concatenate([gmain_ref[0, r], zrow], axis=1))
-    Sg[:, off + L:] = jnp.zeros((co_p, Sg.shape[1] - off - L), dtype)
-
-    if gside:
-        for dy in range(k):
-            for dx in range(k):
-                sh = dy * wp + dx
-                NW[(dy * k + dx) * co_g:(dy * k + dx + 1) * co_g, :] = (
-                    Sg[0:co_g, off - sh:off - sh + Mx])
-        part = jax.lax.dot_general(
-            Sx[0:c_t, 0:Mx], NW[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (c_t, k*k*co_g)
-    else:
-        for dy in range(k):
-            for dx in range(k):
-                sh = dy * wp + dx
-                NW[(dy * k + dx) * c_t:(dy * k + dx + 1) * c_t, :] = (
-                    Sx[0:c_t, sh:sh + L])
-        part = jax.lax.dot_general(
-            Sg[0:co_g, off:off + L], NW[...],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (co_g, k*k*c_t)
-
-    @pl.when(step == 0)
-    def _():
-        dwacc[...] = jnp.zeros_like(dwacc)
-
-    dwacc[...] = dwacc[...] + part
-
-    @pl.when(step == steps - 1)
-    def _():
-        o_ref[...] = dwacc[...]
-
-
-def _dw_call_wide(x, g, *, k, gside):
-    """pallas_call wrapper for `_dw_kernel_wide` (see selection logic in
-    `_dw_call`)."""
-    n, h, cin, w_in = x.shape
-    cout = g.shape[2]
-    p = k // 2
-    c_p = _rup(max(cin, 1), 8)
-    co_p = _rup(cout, 8)
-    c_t = _tight_co(cin)
-    co_g = _tight_co(cout)
-    wp = w_in + 2 * p
-    itemsize = jnp.dtype(x.dtype).itemsize
-    narrow = co_g if gside else c_t
-    wide = c_t if gside else co_g
-    nw_rows = k * k * narrow
-    cap = _vmem_cap()
-    R = _r_max()
-
-    def est(R):
-        L = R * wp
-        Mx = (R + k - 1) * wp
-        off = (k - 1) * wp + (k - 1)
-        Kw = Mx if gside else L
-        return (c_p * (Mx + 128) * itemsize                     # Sx
-                + co_p * (off + Mx + 128) * itemsize            # Sg
-                + nw_rows * Kw * itemsize                       # NW
-                + 2 * _rup(wide, 8) * nw_rows * 4               # acc+part
-                + 2 * (R + k - 1) * _rup(w_in, 128)
-                * (_rup(cin, 8) + _rup(cout, 8)) * itemsize)
-
-    while R > 4 and est(R) > cap:
-        R //= 2
-    while R > 1 and h % R:
-        R //= 2
-    chunks = _cdiv(h, R)
-    steps = n * chunks
-    L = R * wp
-    Mx = (R + k - 1) * wp
-    off = (k - 1) * wp + (k - 1)
-    Kw = Mx if gside else L
-
-    specs = _row_specs(n=n, h=h, w_in=w_in, c=cin, R=R, chunks=chunks,
-                       p=p, k=k, reflect=True)
-    specs.append(pl.BlockSpec((1, R, cout, w_in),
-                              lambda s: (s // chunks, s % chunks, 0, 0),
-                              memory_space=pltpu.VMEM))
-    kern = functools.partial(
-        _dw_kernel_wide, k=k, p=p, R=R, w_in=w_in, wp=wp, c=cin, c_p=c_p,
-        cout=cout, co_p=co_p, c_t=c_t, co_g=co_g, gside=gside, h=h,
-        chunks=chunks, steps=steps, dtype=x.dtype)
-    raw = _pallas(
-        kern,
-        grid=(steps,),
-        in_specs=specs,
-        out_specs=pl.BlockSpec((wide, nw_rows), lambda s: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((wide, nw_rows), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((c_p, Mx + 128), x.dtype),
-            pltpu.VMEM((co_p, off + Mx + 128), x.dtype),
-            pltpu.VMEM((wide, nw_rows), jnp.float32),
-            pltpu.VMEM((nw_rows, Kw), x.dtype),
-        ],
-    )(*([x] * k), g)
-    if gside:  # raw (c_t, k, k, co_g)
-        dw = raw.reshape(c_t, k, k, co_g).transpose(1, 2, 0, 3)
-    else:      # raw (co_g, k, k, c_t)
-        dw = raw.reshape(co_g, k, k, c_t).transpose(1, 2, 3, 0)
-    return dw[:, :, :cin, :cout]
-
-
 def _dw_call(x, g, *, k):
     """dw (k, k, cin, cout) f32 of conv(reflect_pad(x, k//2), w) wrt w.
     x, g are channel-major (N, H, C, W) / (N, H, CO, W).
@@ -637,25 +409,12 @@ def _dw_call(x, g, *, k):
     c_t = _tight_co(cin)
     co_g = _tight_co(cout)
     wp = w_in + 2 * p
-    # Wide orientation — MEASURED AND RETIRED as a default (ROADMAP
-    # round 4): both tap factors on the narrow side cut the dot from 4
-    # lane tiles x Lp to 2 x ~1.38Lp (3.00 -> 2.11 ms dot-only,
-    # experiments/dw_dot_probe.py), but staging the k^2*narrow = 147-row
-    # N matrix costs ~147*Mx*itemsize of VMEM writes at 8-sublane store
-    # amplification (co_g=3-row stores), which eats the win: slope-timed
-    # dw calls measure tail 3.47 (classic) vs 3.76 (wide), head 1.32 vs
-    # 1.42. Classic's main staging volume is 64-row sublane-ALIGNED —
-    # that asymmetry, not the dot shape, decides. VCT_DW_WIDE=1 opts in.
-    import os as _os
-
-    if _os.environ.get("VCT_DW_WIDE") == "1":
-        narrow, wide_side = min(c_t, co_g), max(c_t, co_g)
-        _L, _Lp, _Mx = 16 * wp, 16 * wp + k - 1, (16 + k - 1) * wp
-        cost_classic = _cdiv(k * c_t, 128) * _cdiv(k * co_g, 128) * _Lp
-        cost_wide = (_cdiv(wide_side, 128) * _cdiv(k * k * narrow, 128)
-                     * (_Mx if c_t >= co_g else _L))
-        if cost_wide < cost_classic:
-            return _dw_call_wide(x, g, k=k, gside=c_t >= co_g)
+    # A wide orientation (both tap factors on the narrow dot side) was
+    # built, measured, and RETIRED (ROADMAP round 4): the dot itself wins
+    # 30% (experiments/dw_dot_probe.py) but staging the k^2*narrow-row N
+    # matrix through VMEM at 8-sublane store granularity eats it back —
+    # tail 3.47 (classic) vs 3.76 (wide) ms whole-call. Kernel in git
+    # history (commit b287a35:vae_cyclegan_tpu/ops/starved_conv.py).
     cost_orig = k * c_t * _cdiv(k * co_g, 128)
     cost_swap = k * co_g * _cdiv(k * c_t, 128)
     swap = _knob("VCT_DW_SWAP") and cost_swap < cost_orig
@@ -729,14 +488,14 @@ def _pack_w(w, c_p, co_t):
     return wpad.transpose(1, 3, 0, 2).reshape(k * co_t, k * c_p)
 
 
-def _tight_co(cout, *, epilogue=False):
+def _tight_co(cout):
     """Per-dx M-row group for the forward/dx kernels. For cout < 8 the
     co_p pad makes the MXU stream 8/cout more M rows than exist (tail
     k7 64->3: M=56 for 21 real rows, measured 2.9 ms/call at ~14% MXU);
     packing rows as (dx, cout) with no pad cuts M to k*cout at the cost
     of sublane-unaligned accumulator slices (7 shifted adds on a
-    (3, L) f32 — cheap). The epilogue stat path keeps co_p alignment."""
-    if epilogue or cout >= 8 or not _knob("VCT_TIGHT_CO"):
+    (3, L) f32 — cheap)."""
+    if cout >= 8 or not _knob("VCT_TIGHT_CO"):
         return _rup(cout, 8)
     return cout
 
@@ -774,28 +533,6 @@ def _knob(name):
     import os
 
     return os.environ.get(name, "1") != "0"
-
-
-def _direct_patch(k, cin):
-    """Direct-to-patch assembly: write padded rows straight into P's k
-    (dy, ci) blocks instead of staging a slab S and copying k shifted
-    windows — one slab write + k slab-window reads less per grid step.
-
-    Measured and retired as a default: isolated v5e A/Bs
-    (starved_fused_bench, batch 24 bf16) show the direct form faster
-    where rows are cheap to rebuild per store — cin<8 (head fwd
-    0.094->0.076 ms) or k==3 (U4 fwd 1.64->1.55, fwd+bwd 9.16->8.99) —
-    and slower at k=7 cin=64 (tail fwd 3.44->3.76: the k big contiguous
-    window copies beat 7 per-row unaligned stores of a materialized
-    row temp). But e2e the per-shape rule LOSES: flagship interleaved
-    A/B measured slab 70.52/70.53/70.51 vs rule 70.18/70.38/70.15
-    img/s — the extra per-row stores at the k3 sites cost more DMA
-    overlap across the step than the saved slab write+reads. Default is
-    all-slab; VCT_DIRECT_P=1 forces all-direct for A/Bs."""
-    import os
-
-    del k, cin
-    return os.environ.get("VCT_DIRECT_P") == "1"
 
 
 def _force():
@@ -994,84 +731,6 @@ def _starved_conv(x, w):
     VJP flows through the cm custom_vjp; transposes differentiate
     trivially)."""
     return _to_nhwc(_starved_conv_cm(_to_cm(x), w))
-
-
-# ---------------------------------------------------------------------------
-# fused conv + bias + ReLU + InstanceNorm (VERDICT r2 item 3: stats in the
-# conv epilogue) — the U4 -> IN(act_norm relu) site on the cm chain
-# ---------------------------------------------------------------------------
-
-_IN_EPS = 1e-5  # must match ops.instance_norm._EPS
-
-
-def _conv_relu_stats_cm(x_cm, w, b):
-    """One pallas call: reflect conv + bias + ReLU, emitting the IN
-    moment sums alongside. Returns (t_cm, mu (N,CO), r (N,CO))."""
-    k, _, cin, cout = w.shape
-    c_p = _rup(max(cin, 1), 8)
-    co_p = _rup(cout, 8)
-    wp = _pack_w(w, c_p, co_p).astype(x_cm.dtype)
-    bp = jnp.pad(b.astype(jnp.float32), (0, co_p - cout)).reshape(co_p, 1)
-    t, st = _conv_call(x_cm, wp, k=k, p=k // 2, cin=cin, cout=cout,
-                       reflect=True, bias=bp)
-    hw = t.shape[1] * t.shape[3]
-    mu = st[:, 0, :cout] / hw
-    var = jnp.maximum(st[:, 1, :cout] / hw - jnp.square(mu), 0.0)
-    return t, mu, jax.lax.rsqrt(var + _IN_EPS)
-
-
-@jax.custom_vjp
-def fused_conv_in_relu_cm(x_cm, w, b):
-    """(reflect conv -> +bias -> ReLU -> InstanceNorm) as one unit on
-    channel-major data: numerically the legacy
-    `instance_norm_act(conv(x)+b, act='relu', order='act_norm')` chain
-    (reference D/U pattern, Networks.py:94/129), but the moment sums
-    accumulate in the conv kernel's epilogue so the downstream stat
-    pass never re-reads the conv output from HBM."""
-    t, mu, r = _conv_relu_stats_cm(x_cm, w, b)
-    return ((t.astype(jnp.float32) - mu[:, None, :, None])
-            * r[:, None, :, None]).astype(t.dtype)
-
-
-def _fused_conv_in_fwd(x_cm, w, b):
-    t, mu, r = _conv_relu_stats_cm(x_cm, w, b)
-    y = ((t.astype(jnp.float32) - mu[:, None, :, None])
-         * r[:, None, :, None]).astype(t.dtype)
-    return y, (x_cm, w, b, t, mu, r)
-
-
-def _fused_conv_in_bwd(res, g):
-    # Chain of the two existing exact backwards: the analytic
-    # InstanceNorm(act_norm) VJP (ops/instance_norm.py:_fused_xla_bwd
-    # with h == t saved post-ReLU) into the reflect-conv VJP.
-    x_cm, w, b, t, mu, r = res
-    rb = r[:, None, :, None]
-    gf = g.astype(jnp.float32)
-    tf = t.astype(jnp.float32)
-    t_hat = (tf - mu[:, None, :, None]) * rb
-    g_mean = jnp.mean(gf, axis=(1, 3), keepdims=True)
-    gh_mean = jnp.mean(gf * t_hat, axis=(1, 3), keepdims=True)
-    dt = rb * (gf - g_mean - t_hat * gh_mean) * (tf > 0)
-    db = jnp.sum(dt, axis=(0, 1, 3)).astype(b.dtype)
-    dx, dw = _bwd_impl_cm((x_cm, w), dt.astype(t.dtype))
-    return dx, dw, db
-
-
-fused_conv_in_relu_cm.defvjp(_fused_conv_in_fwd, _fused_conv_in_bwd)
-
-
-def epilogue_in_enabled() -> bool:
-    """Default OFF — measured and rejected on v5e (round 3, after the
-    tunnel recovered): flagship 65.7 img/s with the epilogue fusion vs
-    66.7 without. The f32 stat accumulators in the conv kernel epilogue
-    cost more VMEM/pipeline overlap than the one stat read they remove;
-    XLA's conv-fused stats plus the single-pass-moment `_fused_xla`
-    backward stay the winning lowering for the U4->IN site. The unit is
-    kept correct and opt-in (VCT_EPILOGUE_IN=1) as the basis for future
-    shapes where the stat read dominates."""
-    import os
-
-    return os.environ.get("VCT_EPILOGUE_IN", "0") == "1"
 
 
 def _supported(x_shape, w_shape, dtype) -> bool:
