@@ -203,6 +203,16 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--archs", nargs="+",
                         default=["autoencoder", "cycleae"])
+    parser.add_argument("--seeds", type=int, nargs="+", default=None,
+                        help="run each arch at several seeds and record "
+                             "the gap DISTRIBUTION (VERDICT r4 item 2); "
+                             "default: just --seed")
+    parser.add_argument("--chaos_band", type=str, default=None,
+                        help="path to a vaegan_chaos_probe.json; each "
+                             "seed's ours-vs-torch gap is compared "
+                             "point-wise against the torch-vs-torch "
+                             "chaos band (only meaningful when steps/"
+                             "batch/image_size match the probe run)")
     parser.add_argument("--cycleaegan_steps", type=int, default=0,
                         help="also run N full CycleAEGAN steps at 256^2")
     parser.add_argument("--out", type=str, default="docs/parity_curves.json")
@@ -217,16 +227,53 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    band = None
+    if args.chaos_band:
+        band = json.loads(Path(args.chaos_band).read_text())["chaos_band"]
+
     results = []
     archs = [a for a in args.archs if a != "none"]
+    seeds = args.seeds if args.seeds else [args.seed]
     for arch in archs:
-        print(f"running {arch} for {args.steps} steps in both frameworks...")
-        r = run_pair(arch, args.steps, args.image_size, args.batch, args.seed)
-        print(
-            f"  {arch}: max relative G_loss gap over {args.steps} steps = "
-            f"{r['max_relative_gap']:.4%}, final = {r['final_relative_gap']:.4%}"
-        )
-        results.append(r)
+        runs = []
+        for seed in seeds:
+            print(f"running {arch} seed {seed} for {args.steps} steps "
+                  f"in both frameworks...")
+            r = run_pair(arch, args.steps, args.image_size, args.batch,
+                         seed)
+            r["seed"] = seed
+            if band is not None and len(band) == len(r["relative_gap"]):
+                # point-wise: is the framework gap within the reference's
+                # own 1e-7-perturbation chaos band at every step?
+                over = [t for t, (g, b) in
+                        enumerate(zip(r["relative_gap"], band)) if g > b]
+                r["steps_above_chaos_band"] = over
+                r["within_chaos_band"] = not over
+            print(f"  {arch} seed {seed}: max gap "
+                  f"{r['max_relative_gap']:.4%}, final "
+                  f"{r['final_relative_gap']:.4%}"
+                  + (f", within chaos band: {r['within_chaos_band']}"
+                     if "within_chaos_band" in r else ""))
+            runs.append(r)
+        if len(runs) == 1:
+            results.append(runs[0])
+        else:
+            results.append({
+                "architecture": arch,
+                "steps": args.steps,
+                "image_size": runs[0]["image_size"],
+                "batch": args.batch,
+                "seeds": seeds,
+                "max_relative_gap_per_seed":
+                    [r["max_relative_gap"] for r in runs],
+                "final_relative_gap_per_seed":
+                    [r["final_relative_gap"] for r in runs],
+                "max_relative_gap": max(r["max_relative_gap"]
+                                        for r in runs),
+                "within_chaos_band_per_seed":
+                    [r.get("within_chaos_band") for r in runs],
+                "runs": runs,
+            })
 
     if args.cycleaegan_steps > 0:
         print(f"running cycleaegan for {args.cycleaegan_steps} full steps...")

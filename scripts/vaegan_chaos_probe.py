@@ -14,8 +14,15 @@ multiplied by (1 + 1e-7) — a single-ulp-scale perturbation. If
 torch-vs-perturbed-torch shows the same-order max gap over 40 steps,
 the framework gap is within the trajectory's Lyapunov noise floor.
 
+--probes N (default 5, VERDICT r4 item 2) runs N perturbed trajectories,
+each flipping a DIFFERENT single weight (one per parameter tensor, cycled),
+and records the per-step chaos BAND: band[t] = max over probes of the
+torch-vs-perturbed-torch relative gap at step t. The parity criterion
+then becomes distributional: ours-vs-torch gap[t] <= band[t] point-wise
+(evaluated by scripts/parity_curves.py --chaos_band).
+
 Usage:
-    python scripts/vaegan_chaos_probe.py --steps 40 \
+    python scripts/vaegan_chaos_probe.py --steps 40 --probes 5 \
         --out docs/vaegan_chaos_probe.json
 """
 
@@ -46,7 +53,9 @@ def _import_reference():
     return Networks
 
 
-def run_traj(ref, steps, batches, eps_all, seed, perturb: bool):
+def run_traj(ref, steps, batches, eps_all, seed, perturb: int = -1):
+    """perturb < 0: pristine. perturb = i >= 0: multiply ONE weight of
+    parameter tensor i (mod #tensors), flat index i, by (1 + 1e-7)."""
     import torch
 
     torch.manual_seed(seed)
@@ -56,11 +65,13 @@ def run_traj(ref, steps, batches, eps_all, seed, perturb: bool):
         lambda_kl=1e-5, lambda_gan=1.0, lambda_identity=5.0,
         lambda_cycle=10.0, lambda_recon=1.0,
     )
-    if perturb:
+    if perturb >= 0:
         with torch.no_grad():
-            p = next(tmodel.parameters())
+            params = list(tmodel.parameters())
+            p = params[perturb % len(params)]
             flat = p.view(-1)
-            flat[0] = flat[0] * (1.0 + 1e-7)
+            idx = perturb % flat.numel()
+            flat[idx] = flat[idx] * (1.0 + 1e-7)
 
     t_iter = iter(eps_all)
     orig = torch.randn_like
@@ -89,6 +100,7 @@ def main(argv=None) -> int:
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--image_size", type=int, default=256)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--probes", type=int, default=5)
     parser.add_argument("--out", type=str,
                         default="docs/vaegan_chaos_probe.json")
     args = parser.parse_args(argv)
@@ -113,27 +125,44 @@ def main(argv=None) -> int:
     ]
 
     print("run A (pristine)...")
-    a = run_traj(ref, args.steps, batches, list(eps_all), args.seed, False)
-    print("run B (one weight x (1+1e-7))...")
-    b = run_traj(ref, args.steps, batches, list(eps_all), args.seed, True)
-    rel = [abs(x - y) / max(abs(y), 1e-9) for x, y in zip(a, b)]
+    a = run_traj(ref, args.steps, batches, list(eps_all), args.seed, -1)
+    probes = []
+    for i in range(args.probes):
+        # spread probes across parameter tensors: probe i perturbs one
+        # weight of tensor 7i+1 (coprime stride visits varied layers)
+        which = 7 * i + 1
+        print(f"run B{i} (weight of param tensor {which} x (1+1e-7))...")
+        b = run_traj(ref, args.steps, batches, list(eps_all), args.seed,
+                     which)
+        rel = [abs(x - y) / max(abs(y), 1e-9) for x, y in zip(a, b)]
+        probes.append({
+            "perturbed_param_index": which,
+            "G_loss_b": b,
+            "relative_gap": rel,
+            "max_relative_gap": max(rel),
+            "final_relative_gap": rel[-1],
+        })
+        print(f"  probe {i}: max gap {max(rel):.4%}, final {rel[-1]:.4%}")
+    band = [max(p["relative_gap"][t] for p in probes)
+            for t in range(args.steps)]
     result = {
         "architecture": "vaegan",
-        "perturbation": "first weight * (1 + 1e-7)",
+        "perturbation": "one weight * (1 + 1e-7), distinct weight per probe",
         "steps": args.steps,
         "batch": args.batch,
         "image_size": args.image_size,
+        "n_probes": args.probes,
         "G_loss_a": a,
-        "G_loss_b": b,
-        "relative_gap": rel,
-        "max_relative_gap": max(rel),
-        "final_relative_gap": rel[-1],
+        "probes": probes,
+        "chaos_band": band,
+        "band_max": max(band),
+        "probe_max_gaps": [p["max_relative_gap"] for p in probes],
     }
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(result, indent=2))
-    print(f"torch-vs-perturbed-torch: max gap {max(rel):.4%}, "
-          f"final {rel[-1]:.4%}")
+    print(f"torch-vs-perturbed-torch band max over {args.probes} probes: "
+          f"{max(band):.4%}")
     print(f"wrote {out}")
     return 0
 
