@@ -54,6 +54,7 @@ def _train_args(data_root, out_dir, epochs, extra=()):
     ])
 
 
+@pytest.mark.slow  # full CLI train runs
 def test_train_fresh_resume_and_eval(data_root, tmp_path):
     import train as train_cli
 
@@ -120,6 +121,7 @@ def test_train_rejects_mismatched_ae_modalities(data_root, tmp_path):
         train_cli.main(args)
 
 
+@pytest.mark.slow  # full CLI train runs
 def test_pretrain_transfer_pipeline(data_root, tmp_path):
     """doubleae pretraining -> cycleae --pretrained_doubleae, through the
     CLI with the donated jitted step (regression: transferred G/F used to
@@ -146,6 +148,7 @@ def test_pretrain_transfer_pipeline(data_root, tmp_path):
         train_cli.main(bad_args)
 
 
+@pytest.mark.slow  # full CLI train runs
 def test_pretrain_transfer_pipeline_doublevae(data_root, tmp_path):
     """doublevae pretraining -> cyclevaegan --pretrained_doublevae, the full
     CLI chain the reference runs at train.py:443-460 + utils.py:124-239:

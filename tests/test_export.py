@@ -10,6 +10,8 @@ from vae_cyclegan_tpu.config import ModelConfig
 from vae_cyclegan_tpu.models.tasks import create_task
 from vae_cyclegan_tpu.utils import export as export_mod
 
+pytestmark = pytest.mark.slow  # StableHLO export + generator compiles per family
+
 MC = ModelConfig(image_size=32, latent_dim=8, base_width=8, use_pallas=False)
 
 

@@ -40,6 +40,7 @@ def test_frechet_commutes():
     assert d1 > 0
 
 
+@pytest.mark.slow  # InceptionV3 build + torch import
 def test_inception_shapes_and_import_roundtrip(tmp_path):
     """Init the Flax trunk, export to torch-format keys, reimport, and
     check the features match the original params exactly."""

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-device mesh SPMD compiles + 2-process jax.distributed e2e
+
 from vae_cyclegan_tpu.config import ModelConfig
 from vae_cyclegan_tpu.engine import Engine
 from vae_cyclegan_tpu.models.tasks import create_task

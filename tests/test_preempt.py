@@ -103,6 +103,7 @@ def test_engine_train_epoch_should_stop():
     assert comps["nan_detected"] == 0.0
 
 
+@pytest.mark.slow  # full CLI train run + SIGTERM
 def test_train_cli_sigterm_saves_resumable_checkpoint(tmp_path, tiny_hypersim):
     """E2E: SIGTERM mid-training -> exit 0 + checkpoint_preempt/ that
     --resume accepts (re-running the interrupted epoch)."""

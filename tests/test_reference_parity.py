@@ -16,9 +16,10 @@ import numpy as np
 import pytest
 
 REFERENCE = Path("/root/reference")
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow,  # torch-oracle step parity incl. 256^2 GAN configs
+               pytest.mark.skipif(
     not REFERENCE.exists(), reason="reference repo not mounted"
-)
+)]
 
 
 @pytest.fixture(scope="module")

@@ -10,6 +10,8 @@ import pytest
 from vae_cyclegan_tpu.config import LossConfig, ModelConfig, OptimConfig
 from vae_cyclegan_tpu.models.tasks import ARCHITECTURES, create_task
 
+pytestmark = pytest.mark.slow  # train/eval step compiles across all 10 architectures
+
 MC = ModelConfig(image_size=32, latent_dim=8, base_width=8, use_pallas=False)
 
 # Reference metric keys per architecture's training_step (Networks.py).
