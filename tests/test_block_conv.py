@@ -77,25 +77,3 @@ def test_fallback_on_tiny_shapes(rng, monkeypatch):
     params = mod.init(jax.random.PRNGKey(0), x)
     y = mod.apply(params, x)
     assert y.shape == (1, 2, 2, 4)
-
-
-def test_down2_cm_in_matches_nhwc(rng):
-    """cm_in: channel-major (N, H, C, W) input through NHCW dimension
-    numbers == the NHWC path, values and gradients (the encoder
-    head -> IN -> D1 handover site)."""
-    x = jnp.asarray(rng.randn(2, 8, 10, 4).astype(np.float32))
-    w3 = jnp.asarray(0.1 * rng.randn(3, 3, 16, 6).astype(np.float32))
-    g = jnp.asarray(rng.randn(2, 4, 5, 6).astype(np.float32))
-
-    x_cm = jnp.transpose(x, (0, 1, 3, 2))
-    got = down2_conv(x_cm, w3, cm_in=True)
-    want = down2_conv(x, w3)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-    cm_f = lambda v, k: down2_conv(jnp.transpose(v, (0, 1, 3, 2)), k,
-                                   cm_in=True)
-    got_grads = jax.vjp(cm_f, x, w3)[1](g)
-    want_grads = jax.vjp(down2_conv, x, w3)[1](g)
-    for a, b, name in zip(got_grads, want_grads, ["dx", "dw"]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
-                                   err_msg=name)

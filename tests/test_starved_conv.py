@@ -212,40 +212,3 @@ def test_dispatcher_uses_kernels_for_starved_shapes():
     assert not sc._supported((2, 64, 64, 3), (4, 4, 3, 64), jnp.float32)
     assert not sc._supported((2, 64, 64, 3), (1, 1, 3, 64), jnp.float32)
     assert not sc._supported((2, 16, 16, 3), (7, 7, 3, 64), jnp.float32)
-
-
-def test_encoder_head_cm_path_matches_xla(monkeypatch):
-    """Full Encoder with the head -> IN -> D1 channel-major handover
-    engaged (VCT_HEAD_CM=1, interpret kernels) must match the pure-XLA
-    encoder — values and parameter gradients."""
-    import numpy as np
-
-    from vae_cyclegan_tpu.models.networks import Encoder
-
-    from vae_cyclegan_tpu.ops import block_conv
-
-    monkeypatch.setenv("VCT_HEAD_CM", "1")
-    enc = Encoder(base_width=8, use_pallas=False)
-    x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 3),
-                          jnp.float32)
-    # guard against a vacuous pass: the shared handover predicate (the
-    # one Encoder consults — ops/block_conv.head_down2_handover) must
-    # actually engage for this shape, or the test would compare the XLA
-    # path to itself and stay green through a gating regression
-    assert block_conv.head_down2_handover((1, 32, 32, 3), 8, 7,
-                                          jnp.float32)
-    params = enc.init(jax.random.PRNGKey(0), x)
-
-    def loss(p):
-        return jnp.sum(jnp.square(enc.apply(p, x)))
-
-    got, g_got = jax.value_and_grad(loss)(params)
-    monkeypatch.setenv("VCT_STARVED_CONV", "0")
-    monkeypatch.setenv("VCT_HEAD_CM", "0")
-    want, g_want = jax.value_and_grad(loss)(params)
-    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
-    flat_got = jax.tree_util.tree_leaves(g_got)
-    flat_want = jax.tree_util.tree_leaves(g_want)
-    for a, b in zip(flat_got, flat_want):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-3)

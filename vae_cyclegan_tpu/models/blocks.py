@@ -138,13 +138,16 @@ class ReflectConv(nn.Module):
         kc = kernel.astype(dtype)
         cm_x = self.cm_in
         if self.resample == "down2":
+            if cm_x:  # no cm-in down2 path: the head->down2 cm handover
+                # measured a wash on v5e and was retired (round 5;
+                # ops/block_conv.down2_conv docstring)
+                xc, cm_x = _to_nhwc(xc), False
             if block_conv.down2_applicable(nhwc_shape):
-                y = block_conv.down2_conv(xc, kc, cm_in=cm_x)
+                y = block_conv.down2_conv(xc, kc)
                 if self.cm_out:
                     y = _to_cm(y)
                 return _bias(y, bias, self.cm_out)
-            xc = pixel_unshuffle(_to_nhwc(xc) if cm_x else xc, 2)
-            cm_x = False
+            xc = pixel_unshuffle(xc, 2)
             nhwc_shape = xc.shape
         elif self.resample == "up2":
             # The phase-conv up2 form (4 dense k2 convs + interleave) was
@@ -198,8 +201,8 @@ class CaSb(nn.Module):
     use_pallas: Optional[bool] = None
     dtype: Optional[Dtype] = None
     cm_in: bool = False  # input arrives channel-major (N, H, C, W)
-    # cm_out: emit channel-major — set by Encoder on the head conv when
-    # the following DBlock consumes cm (head -> IN -> down2 handover)
+    # cm_out: emit channel-major — set by Decoder on U4 when the tail
+    # conv consumes cm (U4 -> IN -> tail handover)
     cm_out: bool = False
 
     @nn.compact

@@ -46,22 +46,10 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from vae_cyclegan_tpu.ops import block_conv
-
         w = self.base_width
-        # head -> IN -> D1 handover: when the k7 head conv takes the
-        # Pallas path AND D1 runs the down2 block-conv form, the head
-        # output stays channel-major through the IN and D1 consumes it
-        # via NHCW dimension numbers — no boundary transpose in the graph.
-        # The predicate is the shared single source of truth with
-        # ReflectConv's dispatch (ops/block_conv.head_down2_handover).
-        dtype = self.dtype or x.dtype
-        cm = block_conv.head_down2_handover(x.shape, w, 7, dtype)
         x = CaSb(w, kernel_size=7, stride=1, padding=3,
-                 use_pallas=self.use_pallas, dtype=self.dtype,
-                 cm_out=cm)(x)
-        x = DBlock(w * 2, use_pallas=self.use_pallas, dtype=self.dtype,
-                   cm_in=cm)(x)
+                 use_pallas=self.use_pallas, dtype=self.dtype)(x)
+        x = DBlock(w * 2, use_pallas=self.use_pallas, dtype=self.dtype)(x)
         x = DBlock(w * 4, use_pallas=self.use_pallas, dtype=self.dtype)(x)
         x = DBlock(w * 8, use_pallas=self.use_pallas, dtype=self.dtype)(x)
         x = DBlock(w * 16, use_pallas=self.use_pallas, dtype=self.dtype)(x)

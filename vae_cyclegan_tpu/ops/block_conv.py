@@ -80,16 +80,10 @@ def _w6_from_w3(w3: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(2 * k, 2 * k, c, f)
 
 
-def _coarse_mirror2(x: jnp.ndarray, w_axis: int = 2) -> jnp.ndarray:
-    """Reflect pad of ONE coarse pixel, expressed on the fine grid: the
-    coarse reflect row -1 is coarse row 1 = fine rows (2, 3). H is
-    always axis 1; w_axis=2 is NHWC, w_axis=3 is channel-major
-    (N, H, C, W) — anything else is a caller bug, not a layout."""
-    if w_axis not in (2, 3):
-        raise ValueError(f"w_axis must be 2 (NHWC) or 3 (NHCW), got {w_axis}")
+def _coarse_mirror2(x: jnp.ndarray) -> jnp.ndarray:
+    """Reflect pad of ONE coarse pixel, expressed on the fine NHWC grid:
+    the coarse reflect row -1 is coarse row 1 = fine rows (2, 3)."""
     x = jnp.concatenate([x[:, 2:4], x, x[:, -4:-2]], axis=1)
-    if w_axis == 3:
-        return jnp.concatenate([x[..., 2:4], x, x[..., -4:-2]], axis=3)
     return jnp.concatenate([x[:, :, 2:4], x, x[:, :, -4:-2]], axis=2)
 
 
@@ -98,55 +92,21 @@ def down2_applicable(fine_shape) -> bool:
     return forms_enabled("down") and h >= 4 and w >= 4 and h % 2 == 0 and w % 2 == 0
 
 
-def head_cm_enabled() -> bool:
-    """VCT_HEAD_CM gates the encoder head->IN->down2 channel-major
-    handover (head starved-conv emits (N, H, C, W), InstanceNorm rides
-    the layout, down2 consumes it via NHCW dimension numbers), eliding
-    the head boundary transpose from the graph. Default OFF pending the
-    composed-step A/B on v5e."""
-    return os.environ.get("VCT_HEAD_CM", "0") == "1"
-
-
-def head_down2_handover(x_shape, features: int, kernel_size: int,
-                        dtype) -> bool:
-    """True iff the head CaSb(k=kernel_size) -> IN -> DBlock(down2) chain
-    stays channel-major end to end for input `x_shape` (NHWC): the head
-    conv engages the Pallas cm path (ReflectConv dispatch: same-conv +
-    `cm_engaged`) AND the following down2 block-conv form applies to the
-    head's output. Single source of truth shared by Encoder (the
-    prediction that sets cm_out/cm_in) and exercised against ReflectConv's
-    actual dispatch in tests/test_starved_conv.py — if the dispatch
-    conditions change, the two can't silently desync."""
-    from vae_cyclegan_tpu.ops.starved_conv import cm_engaged
-
-    n, h, w, cin = x_shape
-    return (
-        head_cm_enabled()
-        and cm_engaged(x_shape, (kernel_size, kernel_size, cin, features),
-                       dtype)
-        and down2_applicable((n, h, w, features))
-    )
-
-
-def down2_conv(x: jnp.ndarray, w3: jnp.ndarray,
-               cm_in: bool = False) -> jnp.ndarray:
+def down2_conv(x: jnp.ndarray, w3: jnp.ndarray) -> jnp.ndarray:
     """== reflect_conv(pixel_unshuffle(x, 2), w3); x fine NHWC,
-    w3 (3, 3, 4c, f).  cm_in: x arrives channel-major (N, H, C, W) from
-    an adjacent starved-conv site; the conv consumes it directly via
-    ("NHCW", "HWIO", "NHWC") dimension numbers, so the logical boundary
-    transpose never appears in the graph (any physical relayout folds
-    into the mirror-pad concatenate XLA materializes anyway). Output is
-    NHWC either way (the following D2..D4 sites are XLA convs).
+    w3 (3, 3, 4c, f).
 
     The backward stays on XLA autodiff deliberately: a custom VJP
     computing dx in the coarse (unshuffled) domain — dense k3 full
     correlation + reflect fold + bf16 pixel-shuffle — measured 61.4 vs
     65.9 img/s on the flagship (round 3), losing to XLA's input-dilated
-    ReverseInput fusion of the w6/stride-2 form."""
+    ReverseInput fusion of the w6/stride-2 form.
+
+    A channel-major variant (VCT_HEAD_CM: the encoder head -> IN ->
+    down2 chain staying (N, H, C, W) end to end, this conv consuming it
+    via NHCW dimension numbers) was built, exactness-tested, and A/B'd
+    on v5e in round 5: a wash (70.48 vs 70.51 img/s, 3x interleaved
+    fresh-process) — the head boundary transpose it elides was already
+    hidden under DMA. Retired; code in git history at 6eede58."""
     w6 = _w6_from_w3(w3).astype(x.dtype)
-    if cm_in:
-        return jax.lax.conv_general_dilated(
-            _coarse_mirror2(x, w_axis=3), w6, (2, 2), "VALID",
-            dimension_numbers=("NHCW", "HWIO", "NHWC"),
-        )
     return _conv(_coarse_mirror2(x), w6, (2, 2))
