@@ -9,14 +9,16 @@ visible wobble — i.e. the mid-run gap is the system's intrinsic
 sensitivity, not a framework wiring difference.
 
 Test: run the REFERENCE (torch) against ITSELF from identical weights,
-batches and reparameterization noise, with exactly one weight of run B
-multiplied by (1 + 1e-7) — a single-ulp-scale perturbation. If
-torch-vs-perturbed-torch shows the same-order max gap over 40 steps,
-the framework gap is within the trajectory's Lyapunov noise floor.
+batches and reparameterization noise, with exactly one weight element of
+run B bumped by one ulp (torch.nextafter) — the smallest representable
+perturbation. If torch-vs-perturbed-torch shows the same-order max gap
+over 40 steps, the framework gap is within the trajectory's Lyapunov
+noise floor.
 
 --probes N (default 5, VERDICT r4 item 2) runs N perturbed trajectories,
-each flipping a DIFFERENT single weight (one per parameter tensor, cycled),
-and records the per-step chaos BAND: band[t] = max over probes of the
+each bumping one element of a DIFFERENT weight tensor (ndim > 1 only —
+biases are zero-init, where a multiplicative bump is a no-op), and
+records the per-step chaos BAND: band[t] = max over probes of the
 torch-vs-perturbed-torch relative gap at step t. The parity criterion
 then becomes distributional: ours-vs-torch gap[t] <= band[t] point-wise
 (evaluated by scripts/parity_curves.py --chaos_band).
@@ -67,11 +69,17 @@ def run_traj(ref, steps, batches, eps_all, seed, perturb: int = -1):
     )
     if perturb >= 0:
         with torch.no_grad():
-            params = list(tmodel.parameters())
+            # weight tensors only (ndim > 1): biases are zero-initialized
+            # (Kaiming init, Networks.py:168-178), and 0 * (1 + 1e-7) is a
+            # true no-op that would record a vacuous zero-gap probe
+            params = [p for p in tmodel.parameters() if p.dim() > 1]
             p = params[perturb % len(params)]
             flat = p.view(-1)
             idx = perturb % flat.numel()
-            flat[idx] = flat[idx] * (1.0 + 1e-7)
+            # nextafter: exactly one ulp, guaranteed to change the value
+            # (val * (1 + 1e-7) can round back to val for some mantissas)
+            flat[idx] = torch.nextafter(
+                flat[idx], torch.tensor(float("inf")))
 
     t_iter = iter(eps_all)
     orig = torch.randn_like
@@ -128,10 +136,11 @@ def main(argv=None) -> int:
     a = run_traj(ref, args.steps, batches, list(eps_all), args.seed, -1)
     probes = []
     for i in range(args.probes):
-        # spread probes across parameter tensors: probe i perturbs one
-        # weight of tensor 7i+1 (coprime stride visits varied layers)
+        # spread probes across WEIGHT tensors (ndim > 1; biases are
+        # zero-init no-ops): probe i bumps one element of weight tensor
+        # 7i+1 by one ulp (coprime stride visits varied layers)
         which = 7 * i + 1
-        print(f"run B{i} (weight of param tensor {which} x (1+1e-7))...")
+        print(f"run B{i} (one ulp on weight tensor {which})...")
         b = run_traj(ref, args.steps, batches, list(eps_all), args.seed,
                      which)
         rel = [abs(x - y) / max(abs(y), 1e-9) for x, y in zip(a, b)]
@@ -147,7 +156,8 @@ def main(argv=None) -> int:
             for t in range(args.steps)]
     result = {
         "architecture": "vaegan",
-        "perturbation": "one weight * (1 + 1e-7), distinct weight per probe",
+        "perturbation": "one ulp (nextafter) on one element of a distinct"
+                        " weight tensor per probe",
         "steps": args.steps,
         "batch": args.batch,
         "image_size": args.image_size,
