@@ -49,8 +49,9 @@ def _import_reference():
 
 # reparameterization draws per training step, in reference call order
 # (vae: forward(x); vaegan: G(x), G(y), Networks.py:1269-1276;
+#  doublevae: vae_block_A(enc(x)), vae_block_B(enc(y)), Networks.py:785-792;
 #  cyclevaegan: G(x), G(y), F(Gx), F(y), F(x), G(Fy), Networks.py:1909-1915)
-_EPS_PER_STEP = {"vae": 1, "vaegan": 2, "cyclevaegan": 6}
+_EPS_PER_STEP = {"vae": 1, "vaegan": 2, "doublevae": 2, "cyclevaegan": 6}
 # GAN discriminators hardcode the 16x16 final kernel (Networks.py:248):
 # those archs only exist at 256^2 in the reference
 _FORCE_256 = {"vaegan", "cyclevaegan", "cycleaegan", "aegan"}
@@ -76,6 +77,10 @@ def run_pair(arch: str, steps: int, image_size: int, batch: int, seed: int):
         tmodel = ref.CycleAE(paired=True)
     elif arch == "vae":
         tmodel = ref.VariationalAutoencoder(latent_dim=64)
+    elif arch == "doubleae":
+        tmodel = ref.DoubleAutoencoder()
+    elif arch == "doublevae":
+        tmodel = ref.DoubleVariationalAutoencoder(latent_dim=64)
     elif arch == "vaegan":
         tmodel = ref.VAEGAN(latent_dim=64)
     elif arch == "cyclevaegan":
