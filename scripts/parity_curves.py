@@ -50,8 +50,10 @@ def _import_reference():
 # reparameterization draws per training step, in reference call order
 # (vae: forward(x); vaegan: G(x), G(y), Networks.py:1269-1276;
 #  doublevae: vae_block_A(enc(x)), vae_block_B(enc(y)), Networks.py:785-792;
+#  cyclevae: G(x), F(Gx), F(y), G(Fy), Networks.py:1490-1493;
 #  cyclevaegan: G(x), G(y), F(Gx), F(y), F(x), G(Fy), Networks.py:1909-1915)
-_EPS_PER_STEP = {"vae": 1, "vaegan": 2, "doublevae": 2, "cyclevaegan": 6}
+_EPS_PER_STEP = {"vae": 1, "vaegan": 2, "doublevae": 2, "cyclevae": 4,
+                 "cyclevaegan": 6}
 # GAN discriminators hardcode the 16x16 final kernel (Networks.py:248):
 # those archs only exist at 256^2 in the reference
 _FORCE_256 = {"vaegan", "cyclevaegan", "cycleaegan", "aegan"}
@@ -81,6 +83,10 @@ def run_pair(arch: str, steps: int, image_size: int, batch: int, seed: int):
         tmodel = ref.DoubleAutoencoder()
     elif arch == "doublevae":
         tmodel = ref.DoubleVariationalAutoencoder(latent_dim=64)
+    elif arch == "cyclevae":
+        tmodel = ref.CycleVAE(latent_dim=64, paired=True)
+    elif arch == "aegan":
+        tmodel = ref.AEGAN()
     elif arch == "vaegan":
         tmodel = ref.VAEGAN(latent_dim=64)
     elif arch == "cyclevaegan":
