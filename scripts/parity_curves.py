@@ -237,6 +237,20 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: the campaign runs one (arch, seed) per
+    # process (scripts/parity_campaign_r5b.sh), so without this every
+    # seed re-pays the 256^2 trace+compile
+    try:
+        import os
+
+        cache = os.path.expanduser("~/.cache/jax_parity")
+        os.makedirs(cache, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
     band = None
     if args.chaos_band:
