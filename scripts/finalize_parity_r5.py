@@ -34,23 +34,42 @@ def main() -> int:
     print(f"chaos probes (n={probe['n_probes']}): max gaps "
           + ", ".join(f"{g:.2%}" for g in probe_maxes)
           + f"; band max {probe['band_max']:.2%}")
+
+    # trajectory-mean gap: the unbiasedness statistic — chaos wobble is
+    # mean-zero, a framework wiring error would bias the whole curve
+    import statistics
+
+    def mean_gap(t, j):
+        mt, mj = statistics.mean(t), statistics.mean(j)
+        return abs(mj - mt) / abs(mt)
+
+    a = probe["G_loss_a"]
+    ctrl = [mean_gap(a, p["G_loss_b"]) for p in probe["probes"]]
+    allulp = REPO / "docs" / "vaegan_chaos_allulp.json"
+    if allulp.exists():
+        al = json.loads(allulp.read_text())
+        ctrl.append(mean_gap(a, al["G_loss_perturbed"]))
+    print("torch-vs-torch control mean-of-curve gaps: "
+          + ", ".join(f"{g:.2%}" for g in sorted(ctrl)))
     print()
-    print("| family | size | seeds | max rel. G_loss gap | final |")
-    print("|---|---|---|---|---|")
+    print("| family | size | seeds | max rel. G_loss gap | "
+          "mean-of-curve gap | final |")
+    print("|---|---|---|---|---|---|")
     for r in merged:
         if "per_step_metrics" in r:
             continue
-        if "seeds" in r:
-            gaps = r["max_relative_gap_per_seed"]
-            finals = r["final_relative_gap_per_seed"]
-            print(f"| {r['architecture']} | {r['image_size']} | "
-                  f"{len(r['seeds'])} | "
-                  f"{min(gaps):.2%}-{max(gaps):.2%} | "
-                  f"{min(finals):.2%}-{max(finals):.2%} |")
-        else:
-            print(f"| {r['architecture']} | {r['image_size']} | 1 | "
-                  f"{r['max_relative_gap']:.2%} | "
-                  f"{r['final_relative_gap']:.2%} |")
+        runs = r["runs"] if "seeds" in r else [r]
+        mgaps = [mean_gap(x["torch_G_loss"], x["jax_G_loss"])
+                 for x in runs]
+        gaps = [x["max_relative_gap"] for x in runs]
+        finals = [x["final_relative_gap"] for x in runs]
+
+        def fr(v):
+            return (f"{v[0]:.2%}" if len(v) == 1
+                    else f"{min(v):.2%}-{max(v):.2%}")
+
+        print(f"| {r['architecture']} | {r['image_size']} | {len(runs)} "
+              f"| {fr(gaps)} | {fr(mgaps)} | {fr(finals)} |")
     print(f"\nwrote {out} ({len(merged)} records)")
     return 0
 
